@@ -1,0 +1,222 @@
+"""ModelCross — multi-stream ViT with CLS-token cross-attention fusion.
+
+TPU-native re-design of the reference's namesake model
+(reference model_cross.py:152-241):
+
+  * one shared patch embedding, CLS token, and positional embedding applied to
+    every modality stream (model_cross.py:167-169, 193-198);
+  * `num_multi_blocks` MultiScaleBlocks, each holding per-modality stacks of
+    `num_self_blocks` pre-norm self-attention blocks plus one CLS-query
+    cross-attention block per `attn_order` entry (model_cross.py:116-148);
+  * in a cross block only the CLS is the query; the attention residual adds
+    the CLS slice (model_cross.py:112) and the fused CLS is re-concatenated
+    with its own stream's patch tokens (model_cross.py:140-142);
+  * per-modality LayerNorm + MLP heads on CLS, logits averaged over
+    modalities, cross-entropy with label smoothing (model_cross.py:203-212).
+
+Functional style: `init(key, config) -> params`, `apply(params, config, img,
+labels, train, rng) -> (logits, loss)`.  Python loops over modalities/blocks
+unroll at trace time (M ≤ 3, 2 blocks), leaving XLA a flat GEMM pipeline.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..ops import initializers as init_ops
+from ..ops.attention import cross_attention_cls, self_attention
+from ..ops.layers import RngStream, dropout, feed_forward, layernorm, linear, mlp_head
+from ..ops.losses import cross_entropy
+from ..ops.patchify import num_patches, patchify_3d
+
+
+def _attn_pairs(config: Config) -> list[tuple[int, int]]:
+    """Cross-attention routing as (cls_stream, token_stream) pairs, in the
+    ascending-stream order the reference iterates (model_cross.py:135-144)."""
+    order = config.attn_order
+    pairs = []
+    for i in range(config.num_modalities):
+        if str(i) in order:
+            j = int(order[str(i)])
+            if not 0 <= j < config.num_modalities:
+                raise ValueError(
+                    f"attn_order[{i!r}] = {j} is out of range for "
+                    f"num_modalities={config.num_modalities}")
+            pairs.append((i, j))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _self_block_params(kg, H: int, mlp: int) -> dict:
+    return {
+        "attn_norm": init_ops.layernorm_params(H),
+        "attn": {
+            "qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
+            "out": init_ops.linear_params(kg(), H, H),
+        },
+        "ffn_norm": init_ops.layernorm_params(H),
+        "ffn": {
+            "fc1": init_ops.linear_params(kg(), H, mlp),
+            "fc2": init_ops.linear_params(kg(), mlp, H),
+        },
+    }
+
+
+def _cross_block_params(kg, H: int, mlp: int) -> dict:
+    return {
+        "attn_norm": init_ops.layernorm_params(H),
+        "attn": {
+            "wq": init_ops.linear_params(kg(), H, H),
+            "wk": init_ops.linear_params(kg(), H, H),
+            "wv": init_ops.linear_params(kg(), H, H),
+            "proj": init_ops.linear_params(kg(), H, H),
+        },
+        "ffn_norm": init_ops.layernorm_params(H),
+        "ffn": {
+            "fc1": init_ops.linear_params(kg(), H, mlp),
+            "fc2": init_ops.linear_params(kg(), mlp, H),
+        },
+    }
+
+
+def init(key: jax.Array, config: Config) -> dict:
+    """Build the parameter pytree.
+
+    Inits match the reference distributions: xavier-uniform Linears with zero
+    bias, ones/zeros LayerNorm, N(0, 0.02) pos-embedding and CLS
+    (model_cross.py:214-241).
+    """
+    assert all(config.img_size[i] % config.patch_size[i] == 0 for i in range(3)), \
+        "image dimensions must be divisible by the patch size"
+    H, mlp = config.hidden_dim, config.mlp_dim
+    M = config.num_modalities
+    N = num_patches(config.img_size, config.patch_size)
+    p1, p2, p3 = config.patch_size
+    patch_dim = p1 * p2 * p3 * config.in_channels
+
+    kg = init_ops.KeyGen(key)
+    params = {
+        "pos_embedding": init_ops.trunc_or_normal_02(kg(), (1, N + 1, H)),
+        "cls_token": init_ops.trunc_or_normal_02(kg(), (1, 1, H)),
+        "patch_to_embedding": init_ops.linear_params(kg(), patch_dim, H),
+        "multi_blocks": [
+            {
+                "self_blocks": [
+                    [_self_block_params(kg, H, mlp) for _ in range(config.num_self_blocks)]
+                    for _ in range(M)
+                ],
+                "cross_blocks": [
+                    _cross_block_params(kg, H, mlp) for _ in _attn_pairs(config)
+                ],
+            }
+            for _ in range(config.num_multi_blocks)
+        ],
+        "norm": [init_ops.layernorm_params(H) for _ in range(M)],
+        "mlp_head": [
+            {
+                "fc1": init_ops.linear_params(kg(), H, mlp),
+                "fc2": init_ops.linear_params(kg(), mlp, config.num_classes),
+            }
+            for _ in range(M)
+        ],
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _self_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
+                train: bool, cdt, impl: str) -> jax.Array:
+    """Pre-norm self-attention block (reference model_cross.py:64-72)."""
+    x = self_attention(p["attn"], layernorm(p["attn_norm"], x),
+                       config.num_heads, config.dropout, rng, train,
+                       compute_dtype=cdt, impl=impl) + x
+    x = feed_forward(p["ffn"], layernorm(p["ffn_norm"], x),
+                     config.dropout, rng, train, compute_dtype=cdt) + x
+    return x
+
+
+def _cross_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
+                 train: bool, cdt) -> jax.Array:
+    """CLS-query cross block; attention residual is the CLS slice only
+    (reference model_cross.py:104-114)."""
+    fused = cross_attention_cls(p["attn"], layernorm(p["attn_norm"], x),
+                                config.num_heads, config.dropout, rng, train,
+                                compute_dtype=cdt) + x[:, 0:1]
+    fused = feed_forward(p["ffn"], layernorm(p["ffn_norm"], fused),
+                         config.dropout, rng, train, compute_dtype=cdt) + fused
+    return fused  # (B, 1, H)
+
+
+def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
+                       rng: RngStream, train: bool, cdt, impl: str) -> list[jax.Array]:
+    """Per-stream self-attention stacks then attn_order-routed CLS fusion
+    (reference model_cross.py:128-148)."""
+    attn = []
+    for m, x in enumerate(streams):
+        for blk in p["self_blocks"][m]:
+            x = _self_block(blk, x, config, rng, train, cdt, impl)
+        attn.append(x)
+
+    routing = dict(_attn_pairs(config))  # validated (cls_stream -> token_stream)
+    outs = []
+    cross_count = 0
+    for i in range(len(attn)):
+        if i in routing:
+            j = routing[i]
+            tmp = jnp.concatenate([attn[i][:, 0:1], attn[j][:, 1:]], axis=1)
+            tmp = _cross_block(p["cross_blocks"][cross_count], tmp, config, rng, train, cdt)
+            outs.append(jnp.concatenate([tmp, attn[i][:, 1:]], axis=1))
+            cross_count += 1
+        else:
+            outs.append(attn[i])
+    return outs
+
+
+def apply(params: dict, config: Config, img: jax.Array,
+          labels: jax.Array | None = None, train: bool = False,
+          rng: jax.Array | None = None):
+    """Forward pass.
+
+    img: (B, M, C, D, H, W) float; labels: (B,) int.
+    Returns logits (B, num_classes), or (logits, loss) when labels given —
+    mirroring `forward(img, labels) -> (x, loss)` (model_cross.py:186-212).
+    """
+    cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
+    impl = "flash" if config.use_flash_attention else "xla"
+    rngs = RngStream(rng)
+    B = img.shape[0]
+    M = img.shape[1]
+
+    streams = []
+    for m in range(M):
+        x = patchify_3d(img[:, m], config.patch_size)
+        x = linear(params["patch_to_embedding"], x, cdt)
+        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + params["pos_embedding"].astype(x.dtype)
+        x = dropout(x, config.dropout, rngs, train)
+        streams.append(x)
+
+    for block in params["multi_blocks"]:
+        streams = _multi_scale_block(block, streams, config, rngs, train, cdt, impl)
+
+    streams = [layernorm(params["norm"][i], streams[i]) for i in range(M)]
+    per_mod_logits = [
+        mlp_head(params["mlp_head"][i], streams[i][:, 0], config.dropout,
+                 rngs, train, compute_dtype=cdt)
+        for i in range(M)
+    ]
+    logits = jnp.mean(jnp.stack(per_mod_logits), axis=0).astype(jnp.float32)
+
+    if labels is None:
+        return logits
+    loss = cross_entropy(logits, labels, config.label_smoothing)
+    return logits, loss

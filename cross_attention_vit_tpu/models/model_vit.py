@@ -1,0 +1,106 @@
+"""ModelVIT — single-stream 3D ViT baseline.
+
+TPU-native re-design of the reference baseline (reference modelv3.py:90-176):
+all modalities' patch tokens are embedded with one shared Linear and
+concatenated into one sequence plus one CLS token; pos-embedding spans
+`num_patches·M + 1`; `num_layers` pre-norm transformer blocks each wrap their
+residual branches in row-mode StochasticDepth (rates hardwired 0 in the
+reference, modelv3.py:74 — configurable here via `drop_path_rate`); the head
+is LayerNorm→Linear(H→mlp)→GELU→Dropout→Linear(mlp→classes)→Dropout on CLS;
+loss is plain cross-entropy (no smoothing wired, modelv3.py:146).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..ops import initializers as init_ops
+from ..ops.attention import self_attention
+from ..ops.layers import (RngStream, dropout, feed_forward, layernorm, linear,
+                          stochastic_depth_row)
+from ..ops.losses import cross_entropy
+from ..ops.patchify import num_patches, patchify_3d
+
+
+def _layer_params(kg, H: int, mlp: int) -> dict:
+    return {
+        "attn_norm": init_ops.layernorm_params(H),
+        "attn": {
+            "qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
+            "out": init_ops.linear_params(kg(), H, H),
+        },
+        "ffn_norm": init_ops.layernorm_params(H),
+        "ffn": {
+            "fc1": init_ops.linear_params(kg(), H, mlp),
+            "fc2": init_ops.linear_params(kg(), mlp, H),
+        },
+    }
+
+
+def init(key: jax.Array, config: Config) -> dict:
+    assert all(config.img_size[i] % config.patch_size[i] == 0 for i in range(3)), \
+        "image dimensions must be divisible by the patch size"
+    H, mlp = config.hidden_dim, config.mlp_dim
+    N = num_patches(config.img_size, config.patch_size) * config.num_modalities
+    p1, p2, p3 = config.patch_size
+    patch_dim = p1 * p2 * p3 * config.in_channels
+
+    kg = init_ops.KeyGen(key)
+    return {
+        "pos_embedding": init_ops.trunc_or_normal_02(kg(), (1, N + 1, H)),
+        "cls_token": init_ops.trunc_or_normal_02(kg(), (1, 1, H)),
+        "patch_to_embedding": init_ops.linear_params(kg(), patch_dim, H),
+        "layers": [_layer_params(kg, H, mlp) for _ in range(config.num_layers)],
+        "head": {
+            "norm": init_ops.layernorm_params(H),
+            "fc1": init_ops.linear_params(kg(), H, mlp),
+            "fc2": init_ops.linear_params(kg(), mlp, config.num_classes),
+        },
+    }
+
+
+def apply(params: dict, config: Config, img: jax.Array,
+          labels: jax.Array | None = None, train: bool = False,
+          rng: jax.Array | None = None):
+    """Forward pass: img (B, M, C, D, H, W) → logits (B, num_classes) or
+    (logits, loss) when labels given (reference modelv3.py:123-147)."""
+    cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
+    impl = "flash" if config.use_flash_attention else "xla"
+    drop_path = config.get("drop_path_rate", 0.0)
+    rngs = RngStream(rng)
+    B, M = img.shape[0], img.shape[1]
+
+    tokens = []
+    for m in range(M):
+        x = patchify_3d(img[:, m], config.patch_size)
+        tokens.append(linear(params["patch_to_embedding"], x, cdt))
+    x = jnp.concatenate(tokens, axis=1)
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embedding"].astype(x.dtype)
+    x = dropout(x, config.dropout, rngs, train)
+
+    for layer in params["layers"]:
+        a = self_attention(layer["attn"], layernorm(layer["attn_norm"], x),
+                           config.num_heads, config.dropout, rngs, train,
+                           compute_dtype=cdt, impl=impl)
+        x = stochastic_depth_row(a, drop_path, rngs, train) + x
+        f = feed_forward(layer["ffn"], layernorm(layer["ffn_norm"], x),
+                         config.dropout, rngs, train, compute_dtype=cdt)
+        x = stochastic_depth_row(f, drop_path, rngs, train) + x
+
+    h = params["head"]
+    cls_out = layernorm(h["norm"], x[:, 0])
+    cls_out = linear(h["fc1"], cls_out, cdt)
+    cls_out = jax.nn.gelu(cls_out, approximate=False)
+    cls_out = dropout(cls_out, config.dropout, rngs, train)
+    cls_out = linear(h["fc2"], cls_out, cdt)
+    logits = dropout(cls_out, config.dropout, rngs, train).astype(jnp.float32)
+
+    if labels is None:
+        return logits
+    loss = cross_entropy(logits, labels)  # no label smoothing (modelv3.py:146)
+    return logits, loss

@@ -1,0 +1,105 @@
+"""Core layer applies (pure functions over param pytrees).
+
+Numeric parity notes vs the reference's torch modules:
+  * GELU: torch ``nn.GELU()`` defaults to the exact erf form, so we call
+    ``jax.nn.gelu(..., approximate=False)`` (JAX defaults to tanh-approx).
+  * LayerNorm: torch eps default 1e-5 (the live models use the default;
+    reference model_cross.py:14); the legacy CNN-ViT uses eps=1e-6
+    (model.py:186) so eps is a parameter here.
+  * Dropout: inverted dropout — keep with prob 1-p, scale kept values by
+    1/(1-p) at train time, identity at eval.  Matches torch semantics
+    (bitwise masks differ: different RNGs).
+  * StochasticDepth(mode="row"): per-sample Bernoulli keep of the whole
+    residual branch, scaled by 1/keep (torchvision.ops.StochasticDepth,
+    used by reference modelv3.py:80-82 with rate 0).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+class RngStream:
+    """Threads one PRNG key through an arbitrary number of stochastic layers.
+
+    Each ``next()`` folds an incrementing Python-int counter into the base
+    key, which is trace-time static — so a jitted forward pass consumes a
+    single key argument no matter how many dropout sites it has.
+    """
+
+    def __init__(self, key: jax.Array | None):
+        self._key = key
+        self._n = 0
+
+    def __call__(self) -> jax.Array:
+        if self._key is None:
+            raise ValueError("stochastic layer invoked in train mode without an RNG key")
+        k = jax.random.fold_in(self._key, self._n)
+        self._n += 1
+        return k
+
+
+def linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """x @ kernel + bias.  Optionally casts operands to `compute_dtype` for the
+    matmul (bf16 on the MXU) while accumulating/returning in x.dtype."""
+    kernel = params["kernel"]
+    out_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = jnp.dot(x, kernel, preferred_element_type=out_dtype)
+    if "bias" in params:
+        y = y + params["bias"].astype(out_dtype)
+    return y
+
+
+def layernorm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis, computed in float32 for stability."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU — torch nn.GELU default."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def dropout(x: jax.Array, rate: float, rng: RngStream, train: bool) -> jax.Array:
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng(), keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def stochastic_depth_row(x: jax.Array, rate: float, rng: RngStream, train: bool) -> jax.Array:
+    """torchvision StochasticDepth(mode='row'): drop the branch per sample."""
+    if not train or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng(), keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def feed_forward(params: dict, x: jax.Array, dropout_rate: float,
+                 rng: RngStream, train: bool, compute_dtype=None) -> jax.Array:
+    """Linear→GELU→Dropout→Linear→Dropout (reference model_cross.py:19-31)."""
+    h = linear(params["fc1"], x, compute_dtype)
+    h = gelu(h)
+    h = dropout(h, dropout_rate, rng, train)
+    h = linear(params["fc2"], h, compute_dtype)
+    h = dropout(h, dropout_rate, rng, train)
+    return h
+
+
+def mlp_head(params: dict, x: jax.Array, dropout_rate: float,
+             rng: RngStream, train: bool, compute_dtype=None) -> jax.Array:
+    """Linear(H→mlp)→GELU→Dropout→Linear(mlp→classes)→Dropout — the per-stream
+    classification head (reference model_cross.py:176-183)."""
+    return feed_forward(params, x, dropout_rate, rng, train, compute_dtype)

@@ -1,0 +1,139 @@
+"""Unit tests for ops: patchify ordering, losses, layers vs torch."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from einops import rearrange
+
+import jax
+import jax.numpy as jnp
+
+from cross_attention_vit_tpu.ops import initializers as init_ops
+from cross_attention_vit_tpu.ops.attention import cross_attention_cls, self_attention
+from cross_attention_vit_tpu.ops.layers import RngStream, dropout, gelu, layernorm, linear
+from cross_attention_vit_tpu.ops.losses import bce_with_logits, cross_entropy
+from cross_attention_vit_tpu.ops.patchify import num_patches, patchify_3d, unpatchify_3d
+
+
+def test_patchify_matches_reference_einops_pattern():
+    """Token order (h w d), feature order (p1 p2 p3 c) — model_cross.py:193."""
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(2, 1, 16, 8, 12)).astype(np.float32)
+    patch = (4, 2, 6)
+    got = np.asarray(patchify_3d(jnp.asarray(vol), patch))
+    want = rearrange(torch.from_numpy(vol),
+                     "b c (d p1) (h p2) (w p3) -> b (h w d) (p1 p2 p3 c)",
+                     p1=patch[0], p2=patch[1], p3=patch[2]).numpy()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_patchify_multichannel_and_roundtrip():
+    rng = np.random.default_rng(1)
+    vol = rng.normal(size=(1, 3, 8, 8, 8)).astype(np.float32)
+    patch = (4, 4, 2)
+    tok = patchify_3d(jnp.asarray(vol), patch)
+    assert tok.shape == (1, num_patches((8, 8, 8), patch), 4 * 4 * 2 * 3)
+    back = unpatchify_3d(tok, patch, (8, 8, 8), channels=3)
+    np.testing.assert_array_equal(np.asarray(back), vol)
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1, 0.3])
+def test_cross_entropy_matches_torch(smoothing):
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(16, 2)).astype(np.float32) * 5
+    labels = rng.integers(0, 2, size=(16,))
+    got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(labels), smoothing))
+    want = F.cross_entropy(torch.from_numpy(logits), torch.from_numpy(labels).long(),
+                           label_smoothing=smoothing).item()
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_bce_with_logits_matches_torch():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(32,)).astype(np.float32) * 3
+    targets = rng.integers(0, 2, size=(32,)).astype(np.float32)
+    got = float(bce_with_logits(jnp.asarray(logits), jnp.asarray(targets)))
+    want = F.binary_cross_entropy_with_logits(
+        torch.from_numpy(logits), torch.from_numpy(targets)).item()
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_gelu_is_exact_erf_form():
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    got = np.asarray(gelu(jnp.asarray(x)))
+    want = F.gelu(torch.from_numpy(x)).numpy()  # torch default = erf form
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_layernorm_matches_torch():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(4, 7, 32)).astype(np.float32) * 50
+    p = {"scale": jnp.asarray(rng.normal(size=32).astype(np.float32)),
+         "bias": jnp.asarray(rng.normal(size=32).astype(np.float32))}
+    got = np.asarray(layernorm(p, jnp.asarray(x)))
+    want = F.layer_norm(torch.from_numpy(x), (32,),
+                        torch.from_numpy(np.asarray(p["scale"])),
+                        torch.from_numpy(np.asarray(p["bias"]))).numpy()
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_linear_matches_torch():
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(3, 5, 8)).astype(np.float32)
+    w = rng.normal(size=(8, 16)).astype(np.float32)
+    b = rng.normal(size=(16,)).astype(np.float32)
+    got = np.asarray(linear({"kernel": jnp.asarray(w), "bias": jnp.asarray(b)},
+                            jnp.asarray(x)))
+    want = (torch.from_numpy(x) @ torch.from_numpy(w) + torch.from_numpy(b)).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_self_attention_matches_torch_oracle():
+    from torch_oracle import self_attn_t
+    rng = np.random.default_rng(6)
+    H, heads, N, B = 32, 4, 9, 2
+    kg = init_ops.KeyGen(jax.random.key(0))
+    p = {"qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
+         "out": init_ops.linear_params(kg(), H, H)}
+    x = rng.normal(size=(B, N, H)).astype(np.float32)
+    got = np.asarray(self_attention(p, jnp.asarray(x), heads, 0.0,
+                                    RngStream(None), False))
+    want = self_attn_t(jax.tree.map(np.asarray, p),
+                       torch.from_numpy(x).double(), heads).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cross_attention_matches_torch_oracle():
+    from torch_oracle import cross_attn_t
+    rng = np.random.default_rng(7)
+    H, heads, N, B = 32, 4, 9, 2
+    kg = init_ops.KeyGen(jax.random.key(1))
+    p = {k: init_ops.linear_params(kg(), H, H) for k in ("wq", "wk", "wv", "proj")}
+    x = rng.normal(size=(B, N, H)).astype(np.float32)
+    got = np.asarray(cross_attention_cls(p, jnp.asarray(x), heads, 0.0,
+                                         RngStream(None), False))
+    assert got.shape == (B, 1, H)
+    want = cross_attn_t(jax.tree.map(np.asarray, p),
+                        torch.from_numpy(x).double(), heads).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dropout_train_eval_semantics():
+    x = jnp.ones((1000, 16))
+    out_eval = dropout(x, 0.5, RngStream(None), train=False)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(x))
+    out_train = np.asarray(dropout(x, 0.5, RngStream(jax.random.key(0)), train=True))
+    kept = out_train != 0
+    assert 0.4 < kept.mean() < 0.6
+    np.testing.assert_allclose(out_train[kept], 2.0)  # inverted scaling 1/(1-p)
+
+
+def test_xavier_uniform_bounds_and_moments():
+    k = jax.random.key(0)
+    w = np.asarray(init_ops.xavier_uniform(k, (256, 512)))
+    bound = np.sqrt(6.0 / (256 + 512))
+    assert np.abs(w).max() <= bound
+    assert abs(w.mean()) < bound / 50
+    # uniform variance = bound^2/3
+    np.testing.assert_allclose(w.var(), bound ** 2 / 3, rtol=0.05)

@@ -1,0 +1,145 @@
+"""Independent PyTorch oracle for parity tests.
+
+Computes the reference models' forward math (eval mode, fp32/fp64) directly
+with torch functional ops on OUR param pytrees, so JAX outputs can be checked
+against torch numerics without importing (or copying) the reference code.
+The math follows SURVEY.md §2.2's contract; einops patterns are the exact
+strings the reference uses (model_cross.py:193), which pins token ordering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+from einops import rearrange
+
+
+def t(x, dtype=torch.float64) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(x)).to(dtype)
+
+
+def linear_t(p: dict, x: torch.Tensor) -> torch.Tensor:
+    y = x @ t(p["kernel"])
+    if "bias" in p:
+        y = y + t(p["bias"])
+    return y
+
+
+def ln_t(p: dict, x: torch.Tensor, eps: float = 1e-5) -> torch.Tensor:
+    return F.layer_norm(x, (x.shape[-1],), t(p["scale"]), t(p["bias"]), eps)
+
+
+def ffn_t(p: dict, x: torch.Tensor) -> torch.Tensor:
+    return linear_t(p["fc2"], F.gelu(linear_t(p["fc1"], x)))
+
+
+def self_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
+    qkv = linear_t(p["qkv"], x)
+    q, k, v = qkv.chunk(3, dim=-1)
+    q, k, v = (rearrange(z, "b n (h d) -> b h n d", h=heads) for z in (q, k, v))
+    scale = q.shape[-1] ** -0.5
+    attn = (q @ k.transpose(-1, -2) * scale).softmax(dim=-1)
+    out = rearrange(attn @ v, "b h n d -> b n (h d)")
+    return linear_t(p["out"], out)
+
+
+def cross_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
+    B, N, C = x.shape
+    d = C // heads
+    q = linear_t(p["wq"], x[:, 0:1]).reshape(B, 1, heads, d).permute(0, 2, 1, 3)
+    k = linear_t(p["wk"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
+    v = linear_t(p["wv"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
+    attn = (q @ k.transpose(-2, -1) * d ** -0.5).softmax(dim=-1)
+    out = (attn @ v).transpose(1, 2).reshape(B, 1, C)
+    return linear_t(p["proj"], out)
+
+
+def self_block_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
+    x = self_attn_t(p["attn"], ln_t(p["attn_norm"], x), heads) + x
+    x = ffn_t(p["ffn"], ln_t(p["ffn_norm"], x)) + x
+    return x
+
+
+def cross_block_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
+    x1 = cross_attn_t(p["attn"], ln_t(p["attn_norm"], x), heads) + x[:, 0:1]
+    return ffn_t(p["ffn"], ln_t(p["ffn_norm"], x1)) + x1
+
+
+def patchify_t(vol: torch.Tensor, patch: tuple[int, int, int]) -> torch.Tensor:
+    p1, p2, p3 = patch
+    return rearrange(vol, "b c (d p1) (h p2) (w p3) -> b (h w d) (p1 p2 p3 c)",
+                     p1=p1, p2=p2, p3=p3)
+
+
+def embed_stream_t(params: dict, vol: torch.Tensor, patch) -> torch.Tensor:
+    x = linear_t(params["patch_to_embedding"], patchify_t(vol, patch))
+    cls = t(params["cls_token"]).expand(x.shape[0], -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    return x + t(params["pos_embedding"])
+
+
+def cross_forward(params: dict, config, img: np.ndarray,
+                  labels: np.ndarray | None = None):
+    """Eval-mode ModelCross forward (reference model_cross.py:186-212)."""
+    imgt = t(img)
+    M = imgt.shape[1]
+    streams = [embed_stream_t(params, imgt[:, m], config.patch_size) for m in range(M)]
+
+    for block in params["multi_blocks"]:
+        attn = []
+        for m in range(M):
+            x = streams[m]
+            for blk in block["self_blocks"][m]:
+                x = self_block_t(blk, x, config.num_heads)
+            attn.append(x)
+        outs, cc = [], 0
+        for i in range(M):
+            if str(i) in config.attn_order:
+                j = int(config.attn_order[str(i)])
+                tmp = torch.cat([attn[i][:, 0:1], attn[j][:, 1:]], dim=1)
+                tmp = cross_block_t(block["cross_blocks"][cc], tmp, config.num_heads)
+                outs.append(torch.cat([tmp, attn[i][:, 1:]], dim=1))
+                cc += 1
+            else:
+                outs.append(attn[i])
+        streams = outs
+
+    streams = [ln_t(params["norm"][i], streams[i]) for i in range(M)]
+    logits = torch.stack([
+        linear_t(params["mlp_head"][i]["fc2"],
+                 F.gelu(linear_t(params["mlp_head"][i]["fc1"], streams[i][:, 0])))
+        for i in range(M)
+    ]).mean(dim=0)
+
+    if labels is None:
+        return logits.numpy()
+    loss = F.cross_entropy(logits, torch.from_numpy(np.asarray(labels)).long(),
+                           label_smoothing=config.label_smoothing)
+    return logits.numpy(), loss.item()
+
+
+def vit_forward(params: dict, config, img: np.ndarray,
+                labels: np.ndarray | None = None):
+    """Eval-mode ModelVIT forward (reference modelv3.py:123-147)."""
+    imgt = t(img)
+    M = imgt.shape[1]
+    tokens = torch.cat([
+        linear_t(params["patch_to_embedding"], patchify_t(imgt[:, m], config.patch_size))
+        for m in range(M)
+    ], dim=1)
+    cls = t(params["cls_token"]).expand(tokens.shape[0], -1, -1)
+    x = torch.cat([cls, tokens], dim=1) + t(params["pos_embedding"])
+
+    for layer in params["layers"]:
+        x = self_attn_t(layer["attn"], ln_t(layer["attn_norm"], x), config.num_heads) + x
+        x = ffn_t(layer["ffn"], ln_t(layer["ffn_norm"], x)) + x
+
+    h = params["head"]
+    cls_out = ln_t(h["norm"], x[:, 0])
+    logits = linear_t(h["fc2"], F.gelu(linear_t(h["fc1"], cls_out)))
+
+    if labels is None:
+        return logits.numpy()
+    loss = F.cross_entropy(logits, torch.from_numpy(np.asarray(labels)).long())
+    return logits.numpy(), loss.item()
