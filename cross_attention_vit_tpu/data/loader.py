@@ -1,0 +1,91 @@
+"""Device-feeding data loader: threaded host decode + double-buffered
+host→HBM prefetch.
+
+Replaces the reference's `DataLoader(num_workers=5, sampler=...)` process pool
+(main_mist.py:206-207).  On TPU the right shape is: worker *threads* (the hot
+decode path — zlib, NumPy slicing — releases the GIL), batches assembled on
+host, and `jax.device_put` issued one batch ahead so the H2D copy of the next
+batch overlaps the current step's compute.  With sharding, `device_put` places
+each batch shard directly on its data-parallel device.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Sequence
+
+import jax
+import numpy as np
+
+from .dataset import BrainDataset
+
+
+class PrefetchLoader:
+    """Iterates (img, label) device batches for one epoch's index order."""
+
+    def __init__(self, dataset: BrainDataset, batch_size: int,
+                 num_workers: int = 4, prefetch: int = 2,
+                 sharding: jax.sharding.Sharding | None = None,
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.sharding = sharding
+        self.drop_last = drop_last
+
+    def _batches(self, indices: Sequence[int]) -> list[np.ndarray]:
+        idx = np.asarray(indices)
+        n_full = len(idx) // self.batch_size
+        batches = [idx[i * self.batch_size:(i + 1) * self.batch_size]
+                   for i in range(n_full)]
+        rem = idx[n_full * self.batch_size:]
+        if len(rem) and not self.drop_last:
+            batches.append(rem)
+        return batches
+
+    def __call__(self, indices: Sequence[int]) -> Iterator[tuple[jax.Array, jax.Array]]:
+        batches = self._batches(indices)
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    imgs, labels = self.dataset.batch(b)
+                    if self.sharding is not None:
+                        imgs = jax.device_put(imgs, self.sharding)
+                        labels = jax.device_put(labels, _label_sharding(self.sharding))
+                    else:
+                        imgs = jax.device_put(imgs)
+                        labels = jax.device_put(labels)
+                    q.put((imgs, labels))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def _label_sharding(sharding: jax.sharding.Sharding) -> jax.sharding.Sharding:
+    """Labels are rank-1: shard along the batch axis only."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if isinstance(sharding, NamedSharding) and len(sharding.spec) >= 1:
+        return NamedSharding(sharding.mesh, PartitionSpec(sharding.spec[0]))
+    return sharding
