@@ -22,8 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..configs import Config
-from .nifti import read_volume, volume_path
-from .preprocess import resize_with_pad_or_crop_np
+from .nifti import read_volume_cropped, volume_path
 
 
 class BrainDataset:
@@ -50,8 +49,8 @@ class BrainDataset:
         key = (case_id, mri_type)
         if self._cache is not None and key in self._cache:
             return self._cache[key]
-        vol = read_volume(volume_path(self.folder, case_id, mri_type), np.float32)
-        vol = resize_with_pad_or_crop_np(vol[None], self.img_size, fill=-1.0)
+        vol = read_volume_cropped(volume_path(self.folder, case_id, mri_type),
+                                  self.img_size, fill=-1.0)[None]
         if self._cache is not None:
             self._cache[key] = vol
         return vol  # (1, D, H, W)

@@ -50,12 +50,26 @@ class PrefetchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch_batch(b):
+            if not hasattr(self.dataset, "__getitem__"):
+                return self.dataset.batch(b)
+            # decode items in parallel: gunzip releases the GIL, and decode
+            # overlaps the relay wait of the previous batch's device_put
+            items = list(pool.map(self.dataset.__getitem__, b))
+            imgs = np.stack([it[0] for it in items])
+            labels = np.asarray([it[1] for it in items], dtype=np.int32)
+            return imgs, labels
+
         def produce():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    imgs, labels = self.dataset.batch(b)
+                    imgs, labels = fetch_batch(b)
                     if self.sharding is not None:
                         imgs = jax.device_put(imgs, self.sharding)
                         labels = jax.device_put(labels, _label_sharding(self.sharding))
@@ -80,6 +94,7 @@ class PrefetchLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False)
 
 
 def _label_sharding(sharding: jax.sharding.Sharding) -> jax.sharding.Sharding:

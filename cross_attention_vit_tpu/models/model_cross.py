@@ -52,12 +52,12 @@ def _attn_pairs(config: Config) -> list[tuple[int, int]]:
 # init
 # ---------------------------------------------------------------------------
 
-def _self_block_params(kg, H: int, mlp: int) -> dict:
+def _self_block_params(kg, H: int, mlp: int, heads: int) -> dict:
     return {
         "attn_norm": init_ops.layernorm_params(H),
         "attn": {
-            "qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
-            "out": init_ops.linear_params(kg(), H, H),
+            "qkv": init_ops.fused_qkv_params(kg(), H, heads),
+            "out": init_ops.head_out_params(kg(), H, heads),
         },
         "ffn_norm": init_ops.layernorm_params(H),
         "ffn": {
@@ -67,14 +67,14 @@ def _self_block_params(kg, H: int, mlp: int) -> dict:
     }
 
 
-def _cross_block_params(kg, H: int, mlp: int) -> dict:
+def _cross_block_params(kg, H: int, mlp: int, heads: int) -> dict:
     return {
         "attn_norm": init_ops.layernorm_params(H),
         "attn": {
-            "wq": init_ops.linear_params(kg(), H, H),
-            "wk": init_ops.linear_params(kg(), H, H),
-            "wv": init_ops.linear_params(kg(), H, H),
-            "proj": init_ops.linear_params(kg(), H, H),
+            "wq": init_ops.head_in_params(kg(), H, heads),
+            "wk": init_ops.head_in_params(kg(), H, heads),
+            "wv": init_ops.head_in_params(kg(), H, heads),
+            "proj": init_ops.head_out_params(kg(), H, heads),
         },
         "ffn_norm": init_ops.layernorm_params(H),
         "ffn": {
@@ -107,11 +107,13 @@ def init(key: jax.Array, config: Config) -> dict:
         "multi_blocks": [
             {
                 "self_blocks": [
-                    [_self_block_params(kg, H, mlp) for _ in range(config.num_self_blocks)]
+                    [_self_block_params(kg, H, mlp, config.num_heads)
+                     for _ in range(config.num_self_blocks)]
                     for _ in range(M)
                 ],
                 "cross_blocks": [
-                    _cross_block_params(kg, H, mlp) for _ in _attn_pairs(config)
+                    _cross_block_params(kg, H, mlp, config.num_heads)
+                    for _ in _attn_pairs(config)
                 ],
             }
             for _ in range(config.num_multi_blocks)

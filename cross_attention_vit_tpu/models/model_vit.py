@@ -24,12 +24,12 @@ from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
 
 
-def _layer_params(kg, H: int, mlp: int) -> dict:
+def _layer_params(kg, H: int, mlp: int, heads: int) -> dict:
     return {
         "attn_norm": init_ops.layernorm_params(H),
         "attn": {
-            "qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
-            "out": init_ops.linear_params(kg(), H, H),
+            "qkv": init_ops.fused_qkv_params(kg(), H, heads),
+            "out": init_ops.head_out_params(kg(), H, heads),
         },
         "ffn_norm": init_ops.layernorm_params(H),
         "ffn": {
@@ -52,7 +52,8 @@ def init(key: jax.Array, config: Config) -> dict:
         "pos_embedding": init_ops.trunc_or_normal_02(kg(), (1, N + 1, H)),
         "cls_token": init_ops.trunc_or_normal_02(kg(), (1, 1, H)),
         "patch_to_embedding": init_ops.linear_params(kg(), patch_dim, H),
-        "layers": [_layer_params(kg, H, mlp) for _ in range(config.num_layers)],
+        "layers": [_layer_params(kg, H, mlp, config.num_heads)
+                   for _ in range(config.num_layers)],
         "head": {
             "norm": init_ops.layernorm_params(H),
             "fc1": init_ops.linear_params(kg(), H, mlp),

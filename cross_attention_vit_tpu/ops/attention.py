@@ -9,9 +9,15 @@ Reference semantics (model_cross.py:33-102):
     queries come from the CLS token only (x[:, 0:1]), so attn is (B,H,1,N);
     dropout on both the attention probabilities and the projected output.
 
-The XLA path below is a straight batched-GEMM formulation (MXU-bound at these
+TPU-first layout: kernels carry an explicit heads axis (see
+ops/initializers.py) so the QKV projection emits (B, heads, N, d) directly
+from one einsum/GEMM — no post-GEMM reshard — and tensor parallelism shards
+the heads axis Megatron-style: qkv/wq/wk/wv are column-split, out/proj are
+row-split with a compiler-inserted psum.
+
+The XLA path is a straight batched-GEMM formulation (MXU-bound at these
 sizes: N≈513, d=64).  `impl="flash"` dispatches to the Pallas fused kernel in
-kernels/flash_attention.py once sequence/batch shapes support it.
+kernels/flash_attention.py.
 """
 
 from __future__ import annotations
@@ -19,29 +25,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .layers import RngStream, dropout, linear
-
-
-def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
-    """'b n (h d) -> b h n d' (reference model_cross.py:53)."""
-    B, N, HD = x.shape
-    d = HD // num_heads
-    return x.reshape(B, N, num_heads, d).transpose(0, 2, 1, 3)
-
-
-def _merge_heads(x: jax.Array) -> jax.Array:
-    """'b h n d -> b n (h d)' (reference model_cross.py:60)."""
-    B, H, N, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(B, N, H * d)
+from .layers import RngStream, dropout
 
 
 def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
           attn_dropout: float = 0.0, rng: RngStream | None = None,
           train: bool = False) -> jax.Array:
-    """Scaled-dot-product attention on (B, H, N, d) operands.
+    """Scaled-dot-product attention on (B, K, N, d) operands.
 
     Softmax runs in float32 regardless of compute dtype (bf16 logits lose
-    too much for parity); the two GEMMs accumulate in float32 via
+    too much for parity); both GEMMs accumulate in float32 via
     preferred_element_type.
     """
     dots = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -60,16 +53,19 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
                    compute_dtype=None, impl: str = "xla") -> jax.Array:
     """Fused-QKV multi-head self-attention (reference model_cross.py:33-61).
 
-    params: {"qkv": {"kernel": (H, 3H)}, "out": {"kernel": (H, H), "bias": (H,)}}
+    params: {"qkv": {"kernel": (H, 3, K, D)},
+             "out": {"kernel": (K, D, H), "bias": (H,)}}
     """
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    qkv = linear(params["qkv"], x)  # (B, N, 3H); column layout [q | k | v]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    head_dim = q.shape[-1] // num_heads
+    kernel = params["qkv"]["kernel"].astype(x.dtype)
+    qkv = jnp.einsum("bnh,hskd->sbknd", x, kernel,
+                     preferred_element_type=jnp.float32)  # (3, B, K, N, D)
+    qkv = qkv.astype(x.dtype)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    head_dim = q.shape[-1]
     scale = head_dim ** -0.5
-    q, k, v = (_split_heads(t, num_heads) for t in (q, k, v))
 
     if impl == "flash":
         from ..kernels.flash_attention import flash_attention
@@ -77,10 +73,21 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
     else:
         out = _sdpa(q, k, v, scale)
 
-    out = _merge_heads(out)
-    out = linear(params["out"], out)
-    out = dropout(out, dropout_rate, rng, train)
-    return out.astype(in_dtype)
+    out_k = params["out"]["kernel"].astype(out.dtype)
+    y = jnp.einsum("bknd,kdh->bnh", out, out_k,
+                   preferred_element_type=in_dtype)
+    y = y + params["out"]["bias"].astype(in_dtype)
+    y = dropout(y, dropout_rate, rng, train)
+    return y.astype(in_dtype)
+
+
+def _head_in(p: dict, x: jax.Array) -> jax.Array:
+    """(B, N, H) @ (H, K, D) → (B, K, N, D) with per-head bias."""
+    y = jnp.einsum("bnh,hkd->bknd", x, p["kernel"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)[None, :, None, :]
+    return y.astype(x.dtype)
 
 
 def cross_attention_cls(params: dict, x: jax.Array, num_heads: int,
@@ -91,21 +98,23 @@ def cross_attention_cls(params: dict, x: jax.Array, num_heads: int,
     x is (B, N, H) = [fused-CLS ; other-stream tokens]; only x[:, 0:1] forms
     queries, so the output is a single fused CLS token (B, 1, H).
 
-    params: {"wq","wk","wv","proj"} each {"kernel","bias"}.
+    params: {"wq","wk","wv": {"kernel": (H,K,D), "bias": (K,D)},
+             "proj": {"kernel": (K,D,H), "bias": (H,)}}
     """
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    B, N, C = x.shape
-    head_dim = C // num_heads
+    head_dim = params["wq"]["kernel"].shape[-1]
     scale = head_dim ** -0.5
 
-    q = _split_heads(linear(params["wq"], x[:, 0:1]), num_heads)  # (B,H,1,d)
-    k = _split_heads(linear(params["wk"], x), num_heads)           # (B,H,N,d)
-    v = _split_heads(linear(params["wv"], x), num_heads)
+    q = _head_in(params["wq"], x[:, 0:1])  # (B, K, 1, D)
+    k = _head_in(params["wk"], x)           # (B, K, N, D)
+    v = _head_in(params["wv"], x)
 
     out = _sdpa(q, k, v, scale, attn_dropout=dropout_rate, rng=rng, train=train)
-    out = _merge_heads(out)                       # (B, 1, C)
-    out = linear(params["proj"], out)
-    out = dropout(out, dropout_rate, rng, train)
-    return out.astype(in_dtype)
+    proj = params["proj"]
+    y = jnp.einsum("bknd,kdh->bnh", out, proj["kernel"].astype(out.dtype),
+                   preferred_element_type=in_dtype)
+    y = y + proj["bias"].astype(in_dtype)
+    y = dropout(y, dropout_rate, rng, train)
+    return y.astype(in_dtype)

@@ -94,5 +94,44 @@ def linear_params(key: jax.Array, in_features: int, out_features: int,
     return p
 
 
+# -- head-aligned attention layouts ------------------------------------------
+# Attention kernels are stored with an explicit heads axis so tensor
+# parallelism shards on it directly (Megatron-style column/row split without
+# GSPMD reshards).  Distributions are identical to the torch 2-D layouts —
+# draw xavier on the 2-D shape, then reshape (reshape preserves the law).
+# Layout equivalences to the torch weights:
+#   qkv  (H, 3, K, D)  == torch to_qkv.weight.T (H, 3H); the 3H axis splits
+#                         as chunk(3) → heads → head_dim, exactly the
+#                         reference's chunk + 'b n (h d)' rearrange.
+#   wq/wk/wv (H, K, D) == weight.T (H, H); bias (K, D) == bias (H,)
+#   out/proj (K, D, H) == weight.T with the (h d) input axis split.
+
+
+def fused_qkv_params(key: jax.Array, hidden: int, heads: int,
+                     dtype=jnp.float32) -> dict:
+    d = hidden // heads
+    w = xavier_uniform(key, (hidden, 3 * hidden), dtype)
+    return {"kernel": w.reshape(hidden, 3, heads, d)}
+
+
+def head_in_params(key: jax.Array, hidden: int, heads: int, bias: bool = True,
+                   dtype=jnp.float32) -> dict:
+    """H → (K, D) projection (cross-attention wq/wk/wv)."""
+    d = hidden // heads
+    w = xavier_uniform(key, (hidden, hidden), dtype)
+    p = {"kernel": w.reshape(hidden, heads, d)}
+    if bias:
+        p["bias"] = zeros((heads, d), dtype)
+    return p
+
+
+def head_out_params(key: jax.Array, hidden: int, heads: int,
+                    dtype=jnp.float32) -> dict:
+    """(K, D) → H projection (attention output / cross proj)."""
+    d = hidden // heads
+    w = xavier_uniform(key, (hidden, hidden), dtype)
+    return {"kernel": w.reshape(heads, d, hidden), "bias": zeros((hidden,), dtype)}
+
+
 def layernorm_params(dim: int, dtype=jnp.float32) -> dict:
     return {"scale": ones((dim,), dtype), "bias": zeros((dim,), dtype)}

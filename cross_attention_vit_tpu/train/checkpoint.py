@@ -1,0 +1,150 @@
+"""Checkpointing: pytree save/restore + top-k-by-metric retention.
+
+Mirrors the reference's Lightning ModelCheckpoint policy — monitor a metric,
+keep the best k, embed epoch+metric in the filename (main_mist.py:174-180) —
+and the manual torch.save dict of model/optimizer/step (other_model.py:341-351),
+as one npz-per-checkpoint format with a JSON manifest.
+
+Arrays are gathered to host before writing (fully-addressable;
+`jax.device_get` handles sharded arrays on a single host).  Restore rebuilds
+the exact pytree structure from the flattened key paths.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(_path_str(p) for p in path)
+        flat[key] = np.asarray(jax.device_get(leaf))
+    return flat
+
+
+def _path_str(p) -> str:
+    if isinstance(p, jax.tree_util.DictKey):
+        return str(p.key)
+    if isinstance(p, jax.tree_util.SequenceKey):
+        return str(p.idx)
+    if isinstance(p, jax.tree_util.GetAttrKey):
+        return str(p.name)
+    return str(p)
+
+
+def save_pytree(path: str | Path, tree) -> None:
+    flat = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def restore_pytree(path: str | Path, like) -> object:
+    """Restore into the structure of `like` (a template pytree or eval_shape)."""
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(like)[0]
+    treedef = jax.tree_util.tree_structure(like)
+    leaves = []
+    for path, template in leaves_with_path:
+        key = "/".join(_path_str(p) for p in path)
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        arr = flat[key]
+        want_shape = tuple(template.shape)
+        if tuple(arr.shape) != want_shape:
+            raise ValueError(f"leaf {key!r} shape {arr.shape} != expected {want_shape}")
+        leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class CheckpointManager:
+    """Top-k retention keyed on a monitored metric.
+
+    mode='min' keeps the k smallest (val_loss); filenames embed epoch and the
+    metric value like the reference's `{epoch:02d}-{val_loss:.4f}<tag>`.
+    """
+
+    def __init__(self, dirpath: str | Path, monitor: str = "val_loss",
+                 save_top_k: int = 10, mode: str = "min", tag: str = ""):
+        self.dir = Path(dirpath)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.k = save_top_k
+        self.mode = mode
+        self.tag = tag
+        self._manifest_path = self.dir / f"manifest{('_' + tag) if tag else ''}.json"
+        self._entries: list[dict] = []
+        if self._manifest_path.exists():
+            self._entries = json.loads(self._manifest_path.read_text())
+
+    def _better(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "min" else a > b
+
+    def save(self, epoch: int, metric_value: float, state: dict) -> Path | None:
+        """state: any pytree (e.g. {'params':…, 'opt':…, 'epoch':…}).
+        Returns the written path, or None if not in the top-k."""
+        if self.k > 0 and len(self._entries) >= self.k:
+            worst = self._entries[-1]
+            if not self._better(metric_value, worst["metric"]):
+                return None
+        fname = f"epoch={epoch:02d}-{self.monitor}={metric_value:.4f}{self.tag}.npz"
+        path = self.dir / fname
+        save_pytree(path, state)
+        self._entries.append({"epoch": epoch, "metric": float(metric_value),
+                              "file": fname})
+        self._entries.sort(key=lambda e: e["metric"],
+                           reverse=(self.mode != "min"))
+        while self.k > 0 and len(self._entries) > self.k:
+            drop = self._entries.pop()
+            try:
+                os.remove(self.dir / drop["file"])
+            except FileNotFoundError:
+                pass
+        self._manifest_path.write_text(json.dumps(self._entries, indent=1))
+        return path
+
+    def best(self) -> dict | None:
+        return self._entries[0] if self._entries else None
+
+    def best_path(self) -> Path | None:
+        e = self.best()
+        return self.dir / e["file"] if e else None
+
+
+_LATEST_RE = re.compile(r"step=(\d+)\.npz$")
+
+
+class LatestCheckpointer:
+    """Rolling 'latest step' checkpoint for preemption-safe resume — the TPU
+    robustness feature the reference lacks (SURVEY.md §5 failure-detection row)."""
+
+    def __init__(self, dirpath: str | Path, keep: int = 2):
+        self.dir = Path(dirpath)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.keep = keep
+
+    def save(self, step: int, state) -> Path:
+        path = self.dir / f"step={step}.npz"
+        save_pytree(path, state)
+        existing = sorted(self.dir.glob("step=*.npz"),
+                          key=lambda p: int(_LATEST_RE.search(p.name).group(1)))
+        for old in existing[:-self.keep]:
+            old.unlink()
+        return path
+
+    def latest_step(self) -> int | None:
+        steps = [int(_LATEST_RE.search(p.name).group(1))
+                 for p in self.dir.glob("step=*.npz")]
+        return max(steps) if steps else None
+
+    def restore_latest(self, like):
+        step = self.latest_step()
+        if step is None:
+            return None, None
+        return step, restore_pytree(self.dir / f"step={step}.npz", like)

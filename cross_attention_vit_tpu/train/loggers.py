@@ -1,0 +1,70 @@
+"""Experiment loggers: CSV + TensorBoard, mirroring the reference's dual
+CSVLogger/TensorBoardLogger setup (main_mist.py:183-184).
+
+TensorBoard output uses tensorboardX when available and degrades to a no-op
+otherwise (the environment contract forbids installing new deps).
+"""
+
+from __future__ import annotations
+
+import csv
+from pathlib import Path
+
+
+class CSVLogger:
+    """One metrics.csv per run: columns grow as new metric names appear."""
+
+    def __init__(self, save_dir: str | Path, name: str):
+        self.dir = Path(save_dir) / name
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.path = self.dir / "metrics.csv"
+        self._rows: list[dict] = []
+        self._fields: list[str] = ["epoch"]
+
+    def log_metrics(self, metrics: dict, epoch: int) -> None:
+        row = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
+        for k in row:
+            if k not in self._fields:
+                self._fields.append(k)
+        self._rows.append(row)
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields)
+            w.writeheader()
+            w.writerows(self._rows)
+
+    def finalize(self) -> None:
+        pass
+
+
+class TensorBoardLogger:
+    def __init__(self, save_dir: str | Path, name: str):
+        self.dir = Path(save_dir) / name
+        self.dir.mkdir(parents=True, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(logdir=str(self.dir))
+        except ImportError:  # pragma: no cover - env without tensorboardX
+            self._writer = None
+
+    def log_metrics(self, metrics: dict, epoch: int) -> None:
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            self._writer.add_scalar(k, float(v), epoch)
+
+    def finalize(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class MultiLogger:
+    def __init__(self, *loggers):
+        self.loggers = loggers
+
+    def log_metrics(self, metrics: dict, epoch: int) -> None:
+        for lg in self.loggers:
+            lg.log_metrics(metrics, epoch)
+
+    def finalize(self) -> None:
+        for lg in self.loggers:
+            lg.finalize()

@@ -195,3 +195,31 @@ def test_weighted_sampler_balances_classes():
     np.testing.assert_array_equal(s.epoch_indices(3), s.epoch_indices(3))
     assert not np.array_equal(s.epoch_indices(3), s.epoch_indices(4))
     assert not np.array_equal(s.epoch_indices(3, host_id=0), s.epoch_indices(3, host_id=1))
+
+
+# ---------------------------------------------------------------------------
+# read_volume_cropped — fused decode+crop equals decode-then-crop
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,target", [
+    ((30, 17, 23), (24, 24, 16)),   # mixed crop/pad
+    ((10, 10, 10), (16, 16, 16)),   # pure pad
+    ((20, 20, 20), (8, 8, 8)),      # pure crop
+])
+def test_read_volume_cropped_matches_naive(tmp_path, shape, target):
+    rng = np.random.default_rng(42)
+    vol = rng.integers(-500, 3000, size=shape).astype(np.int16)
+    p = tmp_path / "v.nii.gz"
+    nifti.write_volume(p, vol, scl_slope=0.25, scl_inter=7.5)
+    naive = resize_with_pad_or_crop_np(
+        nifti.read_volume(p, np.float32), target, fill=-1.0)
+    fused = nifti.read_volume_cropped(p, target, fill=-1.0)
+    np.testing.assert_allclose(fused, naive, rtol=1e-6)
+
+
+@pytest.mark.skipif(not has_data, reason="ucsf-data not mounted")
+def test_read_volume_cropped_real_volume():
+    p = nifti.volume_path(UCSF, "UCSF-PDGM-0085", "FLAIR")
+    naive = resize_with_pad_or_crop_np(nifti.read_volume(p), (128, 128, 64), -1.0)
+    fused = nifti.read_volume_cropped(p, (128, 128, 64), -1.0)
+    np.testing.assert_allclose(fused, naive, rtol=1e-6)

@@ -94,8 +94,8 @@ def test_self_attention_matches_torch_oracle():
     rng = np.random.default_rng(6)
     H, heads, N, B = 32, 4, 9, 2
     kg = init_ops.KeyGen(jax.random.key(0))
-    p = {"qkv": init_ops.linear_params(kg(), H, 3 * H, bias=False),
-         "out": init_ops.linear_params(kg(), H, H)}
+    p = {"qkv": init_ops.fused_qkv_params(kg(), H, heads),
+         "out": init_ops.head_out_params(kg(), H, heads)}
     x = rng.normal(size=(B, N, H)).astype(np.float32)
     got = np.asarray(self_attention(p, jnp.asarray(x), heads, 0.0,
                                     RngStream(None), False))
@@ -109,7 +109,8 @@ def test_cross_attention_matches_torch_oracle():
     rng = np.random.default_rng(7)
     H, heads, N, B = 32, 4, 9, 2
     kg = init_ops.KeyGen(jax.random.key(1))
-    p = {k: init_ops.linear_params(kg(), H, H) for k in ("wq", "wk", "wv", "proj")}
+    p = {k: init_ops.head_in_params(kg(), H, heads) for k in ("wq", "wk", "wv")}
+    p["proj"] = init_ops.head_out_params(kg(), H, heads)
     x = rng.normal(size=(B, N, H)).astype(np.float32)
     got = np.asarray(cross_attention_cls(p, jnp.asarray(x), heads, 0.0,
                                          RngStream(None), False))

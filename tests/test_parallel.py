@@ -1,0 +1,125 @@
+"""Distributed tests on 8 virtual CPU devices: DP/TP sharding of the full
+train step, numerical equivalence with the single-device path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from cross_attention_vit_tpu.configs import get_mgmt_cross_config, modify_config
+from cross_attention_vit_tpu.models import model_cross
+from cross_attention_vit_tpu.parallel import (batch_sharding, make_mesh,
+                                              param_specs, shard_batch,
+                                              shard_params)
+from cross_attention_vit_tpu.train import optim
+from cross_attention_vit_tpu.train.trainer import make_eval_step, make_train_step
+
+
+def tiny_cfg(**over):
+    cfg = get_mgmt_cross_config()
+    modify_config(cfg, dict(
+        hidden_dim=32, mlp_dim=64, num_heads=4, num_multi_blocks=1,
+        num_self_blocks=1, img_size=(16, 16, 8), patch_size=(8, 8, 8),
+        num_modalities=2, attn_order={"0": "1", "1": "0"},
+        dropout=0.0, lr=1e-3, weight_decay=1e-4, label_smoothing=0.0,
+        optim_params={"T_max": 10, "eta_min": 1e-6}))
+    modify_config(cfg, over)
+    return cfg
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_param_specs_rules():
+    cfg = tiny_cfg()
+    params = model_cross.init(jax.random.key(0), cfg)
+    specs = param_specs(params)
+    blk = specs["multi_blocks"][0]
+    assert blk["self_blocks"][0][0]["attn"]["qkv"]["kernel"] == P(None, None, "model", None)
+    assert blk["self_blocks"][0][0]["attn"]["out"]["kernel"] == P("model", None, None)
+    assert blk["cross_blocks"][0]["attn"]["wq"]["kernel"] == P(None, "model", None)
+    assert blk["cross_blocks"][0]["attn"]["proj"]["kernel"] == P("model", None, None)
+    assert blk["self_blocks"][0][0]["ffn"]["fc1"]["kernel"] == P(None, "model")
+    assert blk["self_blocks"][0][0]["ffn"]["fc2"]["kernel"] == P("model", None)
+    assert specs["pos_embedding"] == P()
+    # head fc2 row-split shards the mlp input dim; the 2-wide output stays whole
+    assert specs["mlp_head"][0]["fc2"]["kernel"] == P("model", None)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_train_step_matches_single_device(mesh_shape):
+    """DP×TP step == single-device step (same batch, same params)."""
+    cfg = tiny_cfg()
+    params = model_cross.init(jax.random.key(0), cfg)
+    opt_state = optim.init(params)
+    rng = np.random.default_rng(0)
+    img = (rng.normal(size=(8, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
+    labels = rng.integers(0, 2, size=(8,)).astype(np.int32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    step_rng = jax.random.key(9)
+
+    # single device reference
+    step = make_train_step(model_cross.apply, cfg, donate=False)
+    p_ref, _, aux_ref = step(params, opt_state, img, labels, lr, step_rng)
+
+    mesh = make_mesh(*mesh_shape)
+    sp = shard_params(params, mesh)
+    so = optim.AdamState(step=jax.device_put(opt_state.step),
+                         mu=shard_params(opt_state.mu, mesh),
+                         nu=shard_params(opt_state.nu, mesh))
+    imgs_s, labels_s = shard_batch((img, labels), mesh)
+
+    p_new, o_new, aux = step(sp, so, imgs_s, labels_s, lr, step_rng)
+
+    assert float(aux["loss"]) == pytest.approx(float(aux_ref["loss"]), rel=1e-5)
+    # Note: cross-attention wk biases are excluded — their gradient is
+    # *mathematically zero* (a per-head key bias adds the same constant to
+    # every key's logit for a given query; softmax is shift-invariant), so
+    # both runs see only reduction-order rounding noise, which Adam then
+    # normalizes into O(lr) drift.  The torch reference has the same dead
+    # parameter direction.
+    ref_flat = jax.tree_util.tree_flatten_with_path(p_ref)[0]
+    new_flat = jax.tree.leaves(p_new)
+    for (path, b), a in zip(ref_flat, new_flat):
+        keys = [str(getattr(p, "key", getattr(p, "idx", p))) for p in path]
+        if keys[-2:] == ["wk", "bias"]:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4,
+                                   err_msg="/".join(keys))
+    # params must stay sharded (not gathered to one device)
+    qkv = p_new["multi_blocks"][0]["self_blocks"][0][0]["attn"]["qkv"]["kernel"]
+    assert len(qkv.sharding.device_set) == 8
+
+
+def test_sharded_eval_and_batch_sharding():
+    cfg = tiny_cfg()
+    mesh = make_mesh(4, 2)
+    params = shard_params(model_cross.init(jax.random.key(1), cfg), mesh)
+    rng = np.random.default_rng(1)
+    img = (rng.normal(size=(8, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
+    labels = rng.integers(0, 2, size=(8,)).astype(np.int32)
+    img_s = jax.device_put(img, batch_sharding(mesh, img.ndim))
+    lab_s = jax.device_put(labels, batch_sharding(mesh, 1))
+
+    ev = make_eval_step(model_cross.apply, cfg)
+    aux = ev(params, img_s, lab_s)
+    assert np.isfinite(float(aux["loss"]))
+    assert aux["logits"].shape == (8, 2)
+
+    # unsharded reference equivalence
+    params_host = jax.device_get(params)
+    aux_ref = ev(jax.device_put(params_host, jax.devices()[0]),
+                 img, labels)
+    np.testing.assert_allclose(np.asarray(aux["logits"]),
+                               np.asarray(aux_ref["logits"]), atol=1e-5)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(3, 2)  # 6 != 8
+    with pytest.raises(ValueError):
+        make_mesh(-1, 3)  # 8 % 3

@@ -1,0 +1,271 @@
+"""Training-runtime tests: Adam vs torch, cosine schedule vs torch, metrics
+vs sklearn, checkpoint top-k, and an end-to-end overfit smoke run."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from cross_attention_vit_tpu.configs import get_mgmt_config, modify_config
+from cross_attention_vit_tpu.train import optim
+from cross_attention_vit_tpu.train.checkpoint import (CheckpointManager,
+                                                      LatestCheckpointer,
+                                                      restore_pytree, save_pytree)
+from cross_attention_vit_tpu.train.metrics import (MetricAccumulator, binary_auroc,
+                                                   compute_metrics)
+from cross_attention_vit_tpu.train.schedule import ReduceLROnPlateau, cosine_annealing_lr
+
+
+# ---------------------------------------------------------------------------
+# Adam parity vs torch.optim.Adam (L2 weight decay into grad)
+# ---------------------------------------------------------------------------
+
+def test_adam_matches_torch_trajectory():
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(7, 5)).astype(np.float32)
+    grads = [rng.normal(size=(7, 5)).astype(np.float32) for _ in range(25)]
+    lr, wd = 1e-2, 5e-4
+
+    # torch
+    tp = torch.nn.Parameter(torch.from_numpy(p0.copy()))
+    topt = torch.optim.Adam([tp], lr=lr, weight_decay=wd)
+    for g in grads:
+        topt.zero_grad()
+        tp.grad = torch.from_numpy(g.copy())
+        topt.step()
+
+    # ours
+    params = {"w": jnp.asarray(p0)}
+    state = optim.init(params)
+    for g in grads:
+        params, state = optim.update({"w": jnp.asarray(g)}, state, params,
+                                     lr, weight_decay=wd)
+    np.testing.assert_allclose(np.asarray(params["w"]), tp.detach().numpy(),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_adam_lr_is_step_argument():
+    """Changing lr must not change moments — only the applied step size."""
+    params = {"w": jnp.ones((3,))}
+    state = optim.init(params)
+    g = {"w": jnp.ones((3,))}
+    p1, s1 = optim.update(g, state, params, 0.1)
+    p2, _ = optim.update(g, s1, p1, 0.0)  # zero lr → params unchanged
+    np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))
+
+
+# ---------------------------------------------------------------------------
+# Cosine schedule vs torch (epoch stepping, including past T_max)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("t_max,epochs", [(250, 250), (150, 250)])
+def test_cosine_matches_torch(t_max, epochs):
+    base, eta_min = 1e-4, 1e-6
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=base)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=t_max,
+                                                       eta_min=eta_min)
+    ours = cosine_annealing_lr(base, t_max, eta_min)
+    for epoch in range(epochs):
+        want = opt.param_groups[0]["lr"]
+        assert ours(epoch) == pytest.approx(want, rel=1e-6, abs=1e-12), epoch
+        opt.step()
+        sched.step()
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(1e-3, factor=0.1, patience=2)
+    lrs = [s.step(1.0) for _ in range(6)]  # no improvement after first
+    assert lrs[:3] == [1e-3] * 3            # best=1.0 set at step 1; 2 bad allowed
+    assert lrs[3] == pytest.approx(1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Metrics vs sklearn
+# ---------------------------------------------------------------------------
+
+def test_confusion_metrics_vs_sklearn():
+    from sklearn.metrics import (accuracy_score, f1_score, precision_score,
+                                 recall_score)
+    rng = np.random.default_rng(3)
+    preds = rng.integers(0, 2, 200)
+    labels = rng.integers(0, 2, 200)
+    m = jax.device_get(compute_metrics(jnp.asarray(preds), jnp.asarray(labels)))
+    assert m["accuracy"] == pytest.approx(accuracy_score(labels, preds))
+    assert m["precision"] == pytest.approx(precision_score(labels, preds))
+    assert m["recall"] == pytest.approx(recall_score(labels, preds))
+    assert m["f1_score"] == pytest.approx(f1_score(labels, preds))
+    tn = ((preds == 0) & (labels == 0)).sum()
+    fn = ((preds == 0) & (labels == 1)).sum()
+    assert m["npv"] == pytest.approx(tn / (tn + fn))
+    tn_, fp_ = tn, ((preds == 1) & (labels == 0)).sum()
+    assert m["specificity"] == pytest.approx(tn_ / (tn_ + fp_))
+
+
+def test_metrics_zero_denominator_returns_zero():
+    preds = jnp.zeros(4, jnp.int32)
+    labels = jnp.ones(4, jnp.int32)   # no positive predictions, no negatives
+    m = jax.device_get(compute_metrics(preds, labels))
+    assert m["precision"] == 0.0 and m["specificity"] == 0.0 and m["npv"] == 0.0
+
+
+@pytest.mark.parametrize("ties", [False, True])
+def test_auroc_vs_sklearn(ties):
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(4)
+    scores = rng.normal(size=300)
+    if ties:
+        scores = np.round(scores, 1)  # force many ties
+    labels = (rng.normal(size=300) + 0.5 * scores > 0).astype(int)
+    got = float(binary_auroc(jnp.asarray(scores), jnp.asarray(labels)))
+    want = roc_auc_score(labels, scores)
+    assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_auroc_single_class_is_zero_not_nan():
+    assert float(binary_auroc(jnp.asarray([0.1, 0.9]), jnp.asarray([1, 1]))) == 0.0
+
+
+def test_metric_accumulator_epoch_aggregation():
+    from sklearn.metrics import roc_auc_score
+    rng = np.random.default_rng(5)
+    acc = MetricAccumulator()
+    all_scores, all_labels = [], []
+    for _ in range(3):
+        scores = rng.uniform(size=16)
+        labels = rng.integers(0, 2, 16)
+        preds = (scores > 0.5).astype(int)
+        from cross_attention_vit_tpu.train.metrics import confusion_counts
+        acc.update(0.5, jax.device_get(confusion_counts(jnp.asarray(preds),
+                                                        jnp.asarray(labels))),
+                   scores, labels)
+        all_scores.append(scores)
+        all_labels.append(labels)
+    r = acc.result()
+    want_auc = roc_auc_score(np.concatenate(all_labels), np.concatenate(all_scores))
+    assert r["auc_roc"] == pytest.approx(want_auc, abs=1e-6)
+    assert r["loss"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing
+# ---------------------------------------------------------------------------
+
+def test_pytree_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+            "b": [{"c": jnp.ones((4,))}, {"c": jnp.zeros((4,))}],
+            "step": jnp.asarray(7, jnp.int32)}
+    save_pytree(tmp_path / "x.npz", tree)
+    got = restore_pytree(tmp_path / "x.npz", tree)
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_manager_topk(tmp_path):
+    mgr = CheckpointManager(tmp_path, monitor="val_loss", save_top_k=2, mode="min")
+    state = {"w": jnp.ones((2,))}
+    assert mgr.save(0, 1.0, state) is not None
+    assert mgr.save(1, 0.5, state) is not None
+    assert mgr.save(2, 2.0, state) is None          # worse than both kept
+    p = mgr.save(3, 0.1, state)                      # evicts 1.0
+    assert p is not None
+    kept = sorted(f.name for f in tmp_path.glob("*.npz"))
+    assert len(kept) == 2
+    assert mgr.best()["metric"] == pytest.approx(0.1)
+    assert "val_loss=0.1000" in mgr.best_path().name
+
+
+def test_latest_checkpointer_resume(tmp_path):
+    lc = LatestCheckpointer(tmp_path, keep=2)
+    like = {"w": jnp.zeros((3,)), "epoch": jnp.asarray(0, jnp.int32)}
+    for step in [10, 20, 30]:
+        lc.save(step, {"w": jnp.full((3,), float(step)),
+                       "epoch": jnp.asarray(step // 10, jnp.int32)})
+    assert lc.latest_step() == 30
+    assert len(list(tmp_path.glob("step=*.npz"))) == 2  # keep=2 pruning
+    step, state = lc.restore_latest(like)
+    assert step == 30
+    np.testing.assert_array_equal(np.asarray(state["w"]), [30.0] * 3)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: tiny ModelVIT overfits 8 synthetic samples
+# ---------------------------------------------------------------------------
+
+class FakeDataset:
+    """In-memory dataset with the BrainDataset batch interface."""
+
+    def __init__(self, imgs, labels):
+        self.imgs, self.labels = imgs, labels
+
+    def __len__(self):
+        return len(self.labels)
+
+    def batch(self, indices):
+        idx = np.asarray(indices)
+        return self.imgs[idx], self.labels[idx]
+
+
+def test_trainer_overfits_tiny_vit(tmp_path):
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.models import model_vit
+    from cross_attention_vit_tpu.train.loggers import CSVLogger
+    from cross_attention_vit_tpu.train.trainer import Trainer
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=32, mlp_dim=64, num_heads=4, num_layers=2,
+                            img_size=(16, 16, 8), patch_size=(8, 8, 8),
+                            num_modalities=1, dropout=0.0, lr=3e-4,
+                            weight_decay=0.0, label_smoothing=0.0,
+                            optim_params={"T_max": 30, "eta_min": 1e-6}))
+    rng = np.random.default_rng(0)
+    labels = np.array([0, 1] * 4, dtype=np.int32)
+    # class-dependent mean makes the task learnable
+    imgs = (rng.normal(size=(8, 1, 1, 16, 16, 8)) +
+            labels[:, None, None, None, None, None] * 2.0).astype(np.float32)
+    ds = FakeDataset(imgs, labels)
+    loader = PrefetchLoader(ds, batch_size=4)
+
+    logger = CSVLogger(tmp_path, "run0")
+    trainer = Trainer(model_vit, cfg, max_epochs=25, logger=logger,
+                      checkpoint=CheckpointManager(tmp_path / "ckpt", save_top_k=2))
+    history = trainer.fit(loader, loader, verbose=False)
+
+    assert history[-1]["train_loss"] < 0.25 < history[0]["train_loss"]
+    assert history[-1]["val_acc"] == 1.0
+    assert (tmp_path / "run0" / "metrics.csv").exists()
+    assert len(list((tmp_path / "ckpt").glob("*.npz"))) == 2
+
+    logits, targets = trainer.test(loader)
+    assert logits.shape == (8, 2)
+    np.testing.assert_array_equal(np.sort(targets), np.sort(labels))
+
+
+def test_trainer_resume_from_latest(tmp_path):
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.models import model_vit
+    from cross_attention_vit_tpu.train.trainer import Trainer
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=16, mlp_dim=32, num_heads=2, num_layers=1,
+                            img_size=(8, 8, 8), patch_size=(8, 8, 8),
+                            num_modalities=1, dropout=0.0, lr=1e-3,
+                            weight_decay=0.0, label_smoothing=0.0,
+                            optim_params={"T_max": 10, "eta_min": 1e-6}))
+    rng = np.random.default_rng(1)
+    ds = FakeDataset(rng.normal(size=(4, 1, 1, 8, 8, 8)).astype(np.float32),
+                     np.array([0, 1, 0, 1], dtype=np.int32))
+    loader = PrefetchLoader(ds, batch_size=2)
+
+    lc = LatestCheckpointer(tmp_path / "latest")
+    t1 = Trainer(model_vit, cfg, max_epochs=3, latest=lc, seed=1)
+    t1.fit(loader, loader, verbose=False)
+    w_end = np.asarray(jax.tree.leaves(t1.params)[0])
+
+    t2 = Trainer(model_vit, cfg, max_epochs=3, latest=lc, seed=1)
+    t2.init_state()
+    resume_epoch = t2.maybe_resume()
+    assert resume_epoch == 3  # all epochs done
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(t2.params)[0]), w_end)

@@ -15,14 +15,46 @@ import torch.nn.functional as F
 from einops import rearrange
 
 
-def t(x, dtype=torch.float64) -> torch.Tensor:
-    return torch.from_numpy(np.asarray(x)).to(dtype)
+# Oracle precision: float64 for parity tests; bench.py flips this to float32
+# for a fair CPU-throughput baseline.
+DTYPE = torch.float64
+
+
+def t(x, dtype=None) -> torch.Tensor:
+    return torch.from_numpy(np.asarray(x)).to(dtype or DTYPE)
+
+
+# Framework attention kernels carry an explicit heads axis (layouts
+# (H,3,K,D) / (H,K,D) / (K,D,H)); torch math uses the flattened 2-D weight.
+# The heads axis is a pure reshape of the torch layout (see
+# ops/initializers.py), so flattening recovers the torch weight exactly.
 
 
 def linear_t(p: dict, x: torch.Tensor) -> torch.Tensor:
-    y = x @ t(p["kernel"])
+    kernel = np.asarray(p["kernel"])
+    if kernel.ndim == 4:                 # fused qkv (H, 3, K, D)
+        kernel = kernel.reshape(kernel.shape[0], -1)
+    y = x @ t(kernel)
     if "bias" in p:
-        y = y + t(p["bias"])
+        y = y + t(np.asarray(p["bias"]).reshape(-1))
+    return y
+
+
+def head_in_t(p: dict, x: torch.Tensor) -> torch.Tensor:
+    """(H, K, D) kernel, (K, D) bias → torch Linear(H, H)."""
+    k = np.asarray(p["kernel"])
+    y = x @ t(k.reshape(k.shape[0], -1))
+    if "bias" in p:
+        y = y + t(np.asarray(p["bias"]).reshape(-1))
+    return y
+
+
+def head_out_t(p: dict, x: torch.Tensor) -> torch.Tensor:
+    """(K, D, H) kernel → torch Linear(H, H) on merged-heads input."""
+    k = np.asarray(p["kernel"])
+    y = x @ t(k.reshape(-1, k.shape[-1]))
+    if "bias" in p:
+        y = y + t(np.asarray(p["bias"]))
     return y
 
 
@@ -41,18 +73,18 @@ def self_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
     scale = q.shape[-1] ** -0.5
     attn = (q @ k.transpose(-1, -2) * scale).softmax(dim=-1)
     out = rearrange(attn @ v, "b h n d -> b n (h d)")
-    return linear_t(p["out"], out)
+    return head_out_t(p["out"], out)
 
 
 def cross_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
     B, N, C = x.shape
     d = C // heads
-    q = linear_t(p["wq"], x[:, 0:1]).reshape(B, 1, heads, d).permute(0, 2, 1, 3)
-    k = linear_t(p["wk"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
-    v = linear_t(p["wv"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
+    q = head_in_t(p["wq"], x[:, 0:1]).reshape(B, 1, heads, d).permute(0, 2, 1, 3)
+    k = head_in_t(p["wk"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
+    v = head_in_t(p["wv"], x).reshape(B, N, heads, d).permute(0, 2, 1, 3)
     attn = (q @ k.transpose(-2, -1) * d ** -0.5).softmax(dim=-1)
     out = (attn @ v).transpose(1, 2).reshape(B, 1, C)
-    return linear_t(p["proj"], out)
+    return head_out_t(p["proj"], out)
 
 
 def self_block_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
