@@ -1,0 +1,265 @@
+"""Training augmentations — the reference's 9-transform MONAI pipeline
+(dataset_ucsf.py:94-113), re-designed as batched, jit-compiled, stateless-PRNG
+device ops.
+
+The reference runs these per-sample on CPU workers; here the whole batch is
+augmented on the TPU inside the train step (host does decode+crop only).
+RNG never matches MONAI's numpy generator, so parity is *distributional*:
+each transform reproduces MONAI's parameter ranges and per-volume apply
+probability; per-op math follows MONAI's definitions with the documented
+exceptions (zoom interpolation is trilinear rather than 'area'; coarse-hole
+corners are uniform over valid positions).
+
+Transform order and parameters (exactly the reference list):
+  1. RandFlip        p=0.5,  spatial axis 0
+  2. RandRotate90    p=0.2,  k=1, axes (0,1)        [requires D == H]
+  3. RandAffine      p=0.2,  rotate U(±0.1 rad)/axis, scale 1+U(±0.1)/axis,
+                     trilinear, reflection padding
+  4. RandAdjustContrast p=0.3, gamma U(0.7, 1.3)
+  5. RandGaussianNoise  p=0.2, std U(0, 0.1)
+  6. RandGaussianSmooth p=0.2, sigma_x U(0.5,1.5), sigma_y/z U(0.25,1.5)
+  7. RandCoarseShuffle  p=0.2, 5 holes of 20³ (voxels permuted per hole)
+  8. RandCoarseDropout  p=0.2, 3 holes of 15³, fill −1
+  9. RandZoom           p=0.2, isotropic U(0.9, 1.1), keep_size (edge pad)
+
+Applied independently per (batch, modality) volume, like the reference's
+per-modality transform calls (dataset_ucsf.py:150-155).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    flip_prob: float = 0.5
+    rot90_prob: float = 0.2
+    affine_prob: float = 0.2
+    affine_rotate: float = 0.1
+    affine_scale: float = 0.1
+    contrast_prob: float = 0.3
+    gamma_low: float = 0.7
+    gamma_high: float = 1.3
+    noise_prob: float = 0.2
+    noise_std: float = 0.1
+    smooth_prob: float = 0.2
+    sigma_x: tuple[float, float] = (0.5, 1.5)
+    sigma_yz: tuple[float, float] = (0.25, 1.5)
+    shuffle_prob: float = 0.2
+    shuffle_holes: int = 5
+    shuffle_size: tuple[int, int, int] = (20, 20, 20)
+    dropout_prob: float = 0.2
+    dropout_holes: int = 3
+    dropout_size: tuple[int, int, int] = (15, 15, 15)
+    dropout_fill: float = -1.0
+    zoom_prob: float = 0.2
+    zoom_low: float = 0.9
+    zoom_high: float = 1.1
+
+
+def _maybe(key, prob, fn, vol):
+    """Apply fn with probability prob (both branches traced; select)."""
+    k_apply, k_fn = jax.random.split(key)
+    applied = jax.random.bernoulli(k_apply, prob)
+    return jnp.where(applied, fn(k_fn, vol), vol)
+
+
+# --- geometric -------------------------------------------------------------
+
+def _flip0(key, vol):
+    return jnp.flip(vol, axis=0)
+
+
+def _rot90(key, vol):
+    # MONAI RandRotate90(max_k=1) always uses k=1 on axes (0,1)
+    return jnp.rot90(vol, k=1, axes=(0, 1))
+
+
+def _affine(cfg: AugmentConfig):
+    def f(key, vol):
+        D, H, W = vol.shape
+        k_rot, k_scale = jax.random.split(key)
+        ang = jax.random.uniform(k_rot, (3,), minval=-cfg.affine_rotate,
+                                 maxval=cfg.affine_rotate)
+        scale = 1.0 + jax.random.uniform(k_scale, (3,), minval=-cfg.affine_scale,
+                                         maxval=cfg.affine_scale)
+        cx, cy, cz = jnp.cos(ang[0]), jnp.cos(ang[1]), jnp.cos(ang[2])
+        sx, sy, sz = jnp.sin(ang[0]), jnp.sin(ang[1]), jnp.sin(ang[2])
+        rx = jnp.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        rz = jnp.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        # MONAI AffineGrid: rotate then scale (affine = R @ S), output-grid
+        # coordinates centered on the volume center, inverse-free sampling
+        m = rx @ ry @ rz @ jnp.diag(scale)
+        center = jnp.array([(D - 1) / 2.0, (H - 1) / 2.0, (W - 1) / 2.0])
+        ii, jj, kk = jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W),
+                                  indexing="ij")
+        coords = jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()]).astype(jnp.float32)
+        src = m.astype(jnp.float32) @ (coords - center[:, None]) + center[:, None]
+        out = jax.scipy.ndimage.map_coordinates(
+            vol, [src[0].reshape(D, H, W), src[1].reshape(D, H, W),
+                  src[2].reshape(D, H, W)], order=1, mode="reflect")
+        return out
+    return f
+
+
+def _zoom(cfg: AugmentConfig):
+    def f(key, vol):
+        D, H, W = vol.shape
+        z = jax.random.uniform(key, (), minval=cfg.zoom_low, maxval=cfg.zoom_high)
+        # keep_size zoom == resample the volume on a grid scaled by 1/z about
+        # the center: z > 1 magnifies (center crop effect), z < 1 shrinks
+        # (edge-padded surround — MONAI pads with edge values).
+        center = jnp.array([(D - 1) / 2.0, (H - 1) / 2.0, (W - 1) / 2.0])
+        ii, jj, kk = jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W),
+                                  indexing="ij")
+        coords = jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()]).astype(jnp.float32)
+        src = (coords - center[:, None]) / z + center[:, None]
+        out = jax.scipy.ndimage.map_coordinates(
+            vol, [src[0].reshape(D, H, W), src[1].reshape(D, H, W),
+                  src[2].reshape(D, H, W)], order=1, mode="nearest")
+        return out
+    return f
+
+
+# --- intensity ----------------------------------------------------------------
+
+def _contrast(cfg: AugmentConfig):
+    def f(key, vol):
+        gamma = jax.random.uniform(key, (), minval=cfg.gamma_low,
+                                   maxval=cfg.gamma_high)
+        vmin = jnp.min(vol)
+        vrange = jnp.max(vol) - vmin
+        # MONAI AdjustContrast: ((x-min)/(range+eps))**gamma * range + min
+        return ((vol - vmin) / (vrange + 1e-7)) ** gamma * vrange + vmin
+    return f
+
+
+def _noise(cfg: AugmentConfig):
+    def f(key, vol):
+        k_std, k_n = jax.random.split(key)
+        std = jax.random.uniform(k_std, (), minval=0.0, maxval=cfg.noise_std)
+        return vol + std * jax.random.normal(k_n, vol.shape)
+    return f
+
+
+def _gaussian_kernel(sigma, radius: int):
+    """MONAI erf-form discrete Gaussian: 0.5·(erf((x+.5)/σ√2) − erf((x−.5)/σ√2)),
+    clamped ≥0.  Static radius; tails vanish for small σ."""
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    s = sigma * jnp.sqrt(2.0)
+    k = 0.5 * (jax.scipy.special.erf((x + 0.5) / s) -
+               jax.scipy.special.erf((x - 0.5) / s))
+    k = jnp.maximum(k, 0.0)
+    return k / jnp.sum(k)
+
+
+def _smooth(cfg: AugmentConfig):
+    radius = int(4 * max(cfg.sigma_x[1], cfg.sigma_yz[1]) + 0.5)
+
+    def f(key, vol):
+        ks = jax.random.split(key, 3)
+        sigmas = [jax.random.uniform(ks[0], (), minval=cfg.sigma_x[0],
+                                     maxval=cfg.sigma_x[1]),
+                  jax.random.uniform(ks[1], (), minval=cfg.sigma_yz[0],
+                                     maxval=cfg.sigma_yz[1]),
+                  jax.random.uniform(ks[2], (), minval=cfg.sigma_yz[0],
+                                     maxval=cfg.sigma_yz[1])]
+        out = vol[None, None]  # (1, 1, D, H, W)
+        for axis, sigma in enumerate(sigmas):
+            kern = _gaussian_kernel(sigma, radius)
+            shape = [1, 1, 1, 1, 1]
+            shape[2 + axis] = kern.shape[0]
+            out = jax.lax.conv_general_dilated(
+                out, kern.reshape(shape),
+                window_strides=(1, 1, 1),
+                padding=[(radius, radius) if i == axis else (0, 0)
+                         for i in range(3)])
+        return out[0, 0]
+    return f
+
+
+# --- coarse (hole-based) -----------------------------------------------------
+
+def _hole_corners(key, shape, hole_size, n):
+    ks = jax.random.split(key, 3)
+    return [jax.random.randint(ks[i], (n,), 0, max(shape[i] - hole_size[i], 0) + 1)
+            for i in range(3)]
+
+
+def _clip_hole(hs, shape):
+    """MONAI clips holes to the image bounds; with static shapes that is a
+    trace-time min per dim."""
+    return tuple(min(h, s) for h, s in zip(hs, shape))
+
+
+def _coarse_dropout(cfg: AugmentConfig):
+    def f(key, vol):
+        hs = _clip_hole(cfg.dropout_size, vol.shape)
+        corners = _hole_corners(key, vol.shape, hs, cfg.dropout_holes)
+        block = jnp.full(hs, cfg.dropout_fill, vol.dtype)
+
+        def body(i, v):
+            return jax.lax.dynamic_update_slice(
+                v, block, (corners[0][i], corners[1][i], corners[2][i]))
+        return jax.lax.fori_loop(0, cfg.dropout_holes, body, vol)
+    return f
+
+
+def _coarse_shuffle(cfg: AugmentConfig):
+    def f(key, vol):
+        hs = _clip_hole(cfg.shuffle_size, vol.shape)
+        k_c, k_p = jax.random.split(key)
+        corners = _hole_corners(k_c, vol.shape, hs, cfg.shuffle_holes)
+        perms = jax.vmap(lambda k: jax.random.permutation(
+            k, hs[0] * hs[1] * hs[2]))(jax.random.split(k_p, cfg.shuffle_holes))
+
+        def body(i, v):
+            start = (corners[0][i], corners[1][i], corners[2][i])
+            block = jax.lax.dynamic_slice(v, start, hs)
+            block = block.ravel()[perms[i]].reshape(hs)
+            return jax.lax.dynamic_update_slice(v, block, start)
+        return jax.lax.fori_loop(0, cfg.shuffle_holes, body, vol)
+    return f
+
+
+# --- pipeline ------------------------------------------------------------------
+
+def augment_volume(key: jax.Array, vol: jax.Array,
+                   cfg: AugmentConfig = AugmentConfig()) -> jax.Array:
+    """Apply the 9-transform pipeline to one (D, H, W) volume."""
+    if cfg.rot90_prob > 0 and vol.shape[0] != vol.shape[1]:
+        raise ValueError("RandRotate90 on axes (0,1) needs D == H "
+                         f"(got {vol.shape})")
+    steps = [
+        (cfg.flip_prob, _flip0),
+        (cfg.rot90_prob, _rot90),
+        (cfg.affine_prob, _affine(cfg)),
+        (cfg.contrast_prob, _contrast(cfg)),
+        (cfg.noise_prob, _noise(cfg)),
+        (cfg.smooth_prob, _smooth(cfg)),
+        (cfg.shuffle_prob, _coarse_shuffle(cfg)),
+        (cfg.dropout_prob, _coarse_dropout(cfg)),
+        (cfg.zoom_prob, _zoom(cfg)),
+    ]
+    keys = jax.random.split(key, len(steps))
+    for k, (prob, fn) in zip(keys, steps):
+        if prob > 0:
+            vol = _maybe(k, prob, fn, vol)
+    return vol
+
+
+def augment_batch(key: jax.Array, imgs: jax.Array,
+                  cfg: AugmentConfig = AugmentConfig()) -> jax.Array:
+    """Augment a (B, M, C, D, H, W) batch; independent randomness per
+    (batch, modality) volume, matching the reference's per-modality
+    transform calls."""
+    B, M, C, D, H, W = imgs.shape
+    flat = imgs.reshape(B * M * C, D, H, W)
+    keys = jax.random.split(key, flat.shape[0])
+    out = jax.vmap(lambda k, v: augment_volume(k, v, cfg))(keys, flat)
+    return out.reshape(imgs.shape)

@@ -41,8 +41,17 @@ def make_train_step(model_apply, config: Config, donate: bool = True):
                (params, opt_state, aux-dict)
     """
     weight_decay = config.weight_decay
+    img_aug = bool(config.get("img_aug", False))
 
     def step(params, opt_state, img, labels, lr, rng):
+        if img_aug:
+            # device-side batched augmentation (reference runs its MONAI
+            # pipeline per-sample on CPU workers; dataset_ucsf.py:94-113)
+            from ..data.augment import augment_batch
+
+            aug_rng, rng = jax.random.split(rng)
+            img = augment_batch(aug_rng, img)
+
         def loss_fn(p):
             logits, loss = model_apply(p, config, img, labels, train=True, rng=rng)
             return loss, logits

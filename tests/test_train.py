@@ -269,3 +269,25 @@ def test_trainer_resume_from_latest(tmp_path):
     resume_epoch = t2.maybe_resume()
     assert resume_epoch == 3  # all epochs done
     np.testing.assert_array_equal(np.asarray(jax.tree.leaves(t2.params)[0]), w_end)
+
+
+def test_trainer_with_augmentation_runs(tmp_path):
+    """img_aug=True engages the device-side 9-transform pipeline in the
+    train step (D == H required for RandRotate90)."""
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.models import model_vit
+    from cross_attention_vit_tpu.train.trainer import Trainer
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=16, mlp_dim=32, num_heads=2, num_layers=1,
+                            img_size=(16, 16, 8), patch_size=(8, 8, 8),
+                            num_modalities=1, dropout=0.0, lr=1e-3,
+                            weight_decay=0.0, label_smoothing=0.0, img_aug=True,
+                            optim_params={"T_max": 10, "eta_min": 1e-6}))
+    rng = np.random.default_rng(2)
+    ds = FakeDataset(rng.normal(size=(4, 1, 1, 16, 16, 8)).astype(np.float32) * 50,
+                     np.array([0, 1, 0, 1], dtype=np.int32))
+    loader = PrefetchLoader(ds, batch_size=2)
+    t = Trainer(model_vit, cfg, max_epochs=2, seed=2)
+    hist = t.fit(loader, loader, verbose=False)
+    assert np.isfinite(hist[-1]["train_loss"])
