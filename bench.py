@@ -66,6 +66,7 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
     from cross_attention_vit_tpu.models import model_cross
 
     cfg.compute_dtype = "bfloat16"
+    cfg.use_flash_attention = True
     params = model_cross.init(jax.random.key(0), cfg)
     fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
 

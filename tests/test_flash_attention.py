@@ -1,0 +1,85 @@
+"""Flash-attention kernel tests (interpret mode on the CPU backend; the same
+code path compiles via Mosaic on real TPUs — verified on-chip separately)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cross_attention_vit_tpu.kernels.flash_attention import (_reference_sdpa,
+                                                             flash_attention)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 2, 64, 64),     # aligned
+    (2, 4, 513, 64),    # live geometry: N needs sublane padding
+    (1, 1, 9, 32),      # tiny ragged
+])
+def test_flash_matches_reference(shape):
+    B, K, N, D = shape
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    scale = D ** -0.5
+    out = flash_attention(q, k, v, scale)
+    want = _reference_sdpa(q, k, v, scale)
+    assert out.shape == shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_padding_mask_is_exact():
+    """Padded key columns must not leak probability mass: compare N=513
+    against the same data embedded in a larger padded call."""
+    rng = np.random.default_rng(1)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 513, 64)).astype(np.float32))
+               for _ in range(3))
+    out = flash_attention(q, k, v, 0.125)
+    want = _reference_sdpa(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_gradients_match_reference():
+    rng = np.random.default_rng(2)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 65, 32)).astype(np.float32))
+               for _ in range(3))
+    scale = 32 ** -0.5
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_sdpa(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_flash_in_model_forward():
+    """use_flash_attention=True routes self-attention through the kernel and
+    matches the XLA path."""
+    from cross_attention_vit_tpu.configs import get_mgmt_cross_config, modify_config
+    from cross_attention_vit_tpu.models import model_cross
+
+    cfg = get_mgmt_cross_config()
+    modify_config(cfg, dict(hidden_dim=64, mlp_dim=128, num_heads=4,
+                            num_multi_blocks=1, num_self_blocks=1,
+                            img_size=(16, 16, 8), patch_size=(8, 8, 8),
+                            num_modalities=2, attn_order={"0": "1"},
+                            dropout=0.0, lr=1e-4, weight_decay=0.0,
+                            label_smoothing=0.0,
+                            optim_params={"T_max": 10, "eta_min": 1e-6}))
+    params = model_cross.init(jax.random.key(0), cfg)
+    img = (np.random.default_rng(3).normal(size=(2, 2, 1, 16, 16, 8)) * 100
+           ).astype(np.float32)
+    base = model_cross.apply(params, cfg, img)
+    cfg.use_flash_attention = True
+    flash = model_cross.apply(params, cfg, img)
+    np.testing.assert_allclose(np.asarray(flash), np.asarray(base),
+                               atol=1e-4, rtol=1e-4)
