@@ -78,17 +78,21 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
     for imgs, _ in loader(np.arange(6)):
         jax.block_until_ready(fwd(params, imgs))
 
-    # steady state: REPEATS passes over the cohort, decode included (no cache)
-    idx = np.tile(np.arange(6), REPEATS)
-    t0 = time.perf_counter()
-    n = 0
-    last = None
-    for imgs, _ in loader(idx):
-        last = fwd(params, imgs)  # async dispatch; decode overlaps compute
-        n += imgs.shape[0]
-    jax.block_until_ready(last)
-    dt = time.perf_counter() - t0
-    vols_per_sec = n / dt
+    # steady state: three measurement windows of REPEATS cohort passes each,
+    # decode included (no cache); report the median window — the shared-vCPU
+    # host + loopback relay make single windows noisy by up to ±50%.
+    rates = []
+    for _ in range(3):
+        idx = np.tile(np.arange(6), REPEATS)
+        t0 = time.perf_counter()
+        n = 0
+        last = None
+        for imgs, _ in loader(idx):
+            last = fwd(params, imgs)  # async dispatch; decode overlaps compute
+            n += imgs.shape[0]
+        jax.block_until_ready(last)
+        rates.append(n / (time.perf_counter() - t0))
+    vols_per_sec = float(np.median(rates))
 
     # p50 per-volume latency: single subject end to end (decode 3 vols + fwd)
     lat = []

@@ -1,1 +1,2 @@
-from . import dataset, labels, loader, nifti, preprocess  # noqa: F401
+from . import (augment, dataset, dataset_rsna, dicom, labels, loader,  # noqa: F401
+               nifti, preprocess)

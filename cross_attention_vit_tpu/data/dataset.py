@@ -31,7 +31,7 @@ class BrainDataset:
     def __init__(self, data: pd.DataFrame, config: Config,
                  types: Sequence[str] = ("T1c", "T2"), is_train: bool = True,
                  folder: str = "ucsf-data", cache: bool = True,
-                 decode_workers: int = 0):
+                 decode_workers: int = 0, use_native: bool | None = None):
         self.target = config.target
         self.data = data.reset_index(drop=True)
         self.types = tuple(types)
@@ -41,6 +41,10 @@ class BrainDataset:
         self._cache: dict[tuple[str, str], np.ndarray] | None = {} if cache else None
         self._pool = (ThreadPoolExecutor(max_workers=decode_workers)
                       if decode_workers > 0 else None)
+        if use_native is None:
+            from . import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.data)
@@ -49,8 +53,12 @@ class BrainDataset:
         key = (case_id, mri_type)
         if self._cache is not None and key in self._cache:
             return self._cache[key]
-        vol = read_volume_cropped(volume_path(self.folder, case_id, mri_type),
-                                  self.img_size, fill=-1.0)[None]
+        path = volume_path(self.folder, case_id, mri_type)
+        if self.use_native:
+            from . import native
+            vol = native.decode_crop(path, self.img_size, fill=-1.0)[None]
+        else:
+            vol = read_volume_cropped(path, self.img_size, fill=-1.0)[None]
         if self._cache is not None:
             self._cache[key] = vol
         return vol  # (1, D, H, W)

@@ -1,0 +1,185 @@
+"""Legacy RSNA-BraTS DICOM dataset — the reference's earlier-phase ingest.
+
+Capability parity with reference dataset.py `BrainRSNADataset` (broken in the
+reference — it calls a nonexistent config factory and reads a missing CSV;
+dataset.py:35,43):
+
+  * per case, slice files sorted naturally by the digits in their names
+    (dataset.py:137-142);
+  * brain-region crop: bounding box of > 0 voxels (crop_img, dataset.py:49-69);
+  * "biggest slice" selection: the slice whose cropped brain area is maximal,
+    computed once per case and cached to disk (dataset.py:122-152 — joblib
+    pickle there, JSON here);
+  * a window of `num_imgs` slices centered on the biggest slice; each slice:
+    VOI-LUT windowing → bbox crop → resize to (size, size) → per-slice 0-1
+    normalization; depth zero-padded to `num_imgs` (dataset.py:156-216).
+
+Resize uses OpenCV bilinear like the reference when cv2 is importable, else
+jax.image on host numpy.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from .dicom import apply_voi_lut, read_dicom
+
+_DIGITS = re.compile(r"(\d+)")
+
+
+def natural_sort(paths: Sequence[Path]) -> list[Path]:
+    """'Image-9.dcm' < 'Image-10.dcm' (reference dataset.py:137-142)."""
+
+    def key(p: Path):
+        return [int(t) if t.isdigit() else t for t in _DIGITS.split(p.name)]
+
+    return sorted(paths, key=key)
+
+
+def crop_img(img: np.ndarray, threshold: float = 0.0) -> np.ndarray:
+    """Bounding-box crop of the > threshold region (dataset.py:49-69).
+    Returns the input unchanged when nothing exceeds the threshold."""
+    mask = img > threshold
+    if not mask.any():
+        return img
+    rows = np.where(mask.any(axis=1))[0]
+    cols = np.where(mask.any(axis=0))[0]
+    return img[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+
+
+def cropped_area(img: np.ndarray, threshold: float = 0.0) -> int:
+    """Area of the cropped region (extract_cropped_image_size, dataset.py:72-81)."""
+    c = crop_img(img, threshold)
+    return int(c.shape[0] * c.shape[1])
+
+
+def _resize(img: np.ndarray, size: int) -> np.ndarray:
+    try:
+        import cv2
+
+        return cv2.resize(img.astype(np.float32), (size, size))
+    except ImportError:  # pragma: no cover
+        import jax
+
+        return np.asarray(jax.image.resize(img.astype(np.float32),
+                                           (size, size), "linear"))
+
+
+class RSNADataset:
+    """Map-style dataset over DICOM cases.
+
+    Layout: {folder}/{case_id}/{mri_type}/*.dcm
+    Items: (volume (1, num_imgs, size, size) float32 in [0,1], label int)
+    """
+
+    def __init__(self, data, mri_type: str = "FLAIR", folder: str = "rsna-data",
+                 num_imgs: int = 32, size: int = 256, target: str = "MGMT_value",
+                 cache_file: str | None = None):
+        self.data = data.reset_index(drop=True)
+        self.mri_type = mri_type
+        self.folder = Path(folder)
+        self.num_imgs = num_imgs
+        self.size = size
+        self.target = target
+        self.cache_path = Path(cache_file) if cache_file else \
+            self.folder / f"biggest_{mri_type}.json"
+        self._biggest: dict[str, int] | None = None
+
+    def _case_dir(self, case_id: str) -> Path:
+        return self.folder / str(case_id) / self.mri_type
+
+    def _slices(self, case_id: str) -> list[Path]:
+        return natural_sort(list(self._case_dir(case_id).glob("*.dcm")))
+
+    def prepare_biggest_images(self) -> dict[str, int]:
+        """Per case, index of the slice with maximal cropped brain area;
+        cached to JSON (dataset.py:122-152)."""
+        if self._biggest is not None:
+            return self._biggest
+        if self.cache_path.exists():
+            self._biggest = json.loads(self.cache_path.read_text())
+            return self._biggest
+        biggest: dict[str, int] = {}
+        for case_id in self.data["ID"].astype(str):
+            areas = []
+            for p in self._slices(case_id):
+                d = read_dicom(p)
+                areas.append(cropped_area(d.pixel_array.astype(np.float32)))
+            if not areas:
+                raise FileNotFoundError(f"no DICOM slices for case {case_id} "
+                                        f"under {self._case_dir(case_id)}")
+            biggest[case_id] = int(np.argmax(areas))
+        try:
+            self.cache_path.parent.mkdir(parents=True, exist_ok=True)
+            self.cache_path.write_text(json.dumps(biggest))
+        except OSError:
+            pass  # read-only data folder: keep in memory only
+        self._biggest = biggest
+        return biggest
+
+    def _biggest_for(self, case_id: str) -> int:
+        """Cache lookup with compute-on-miss: split datasets share one cache
+        file, so a case absent from a previously-written cache (built by a
+        different split) is scanned and appended on demand."""
+        biggest = self.prepare_biggest_images()
+        if case_id not in biggest:
+            areas = []
+            for p in self._slices(case_id):
+                d = read_dicom(p)
+                areas.append(cropped_area(d.pixel_array.astype(np.float32)))
+            if not areas:
+                raise FileNotFoundError(f"no DICOM slices for case {case_id} "
+                                        f"under {self._case_dir(case_id)}")
+            biggest[case_id] = int(np.argmax(areas))
+            try:
+                self.cache_path.write_text(json.dumps(biggest))
+            except OSError:
+                pass
+        return biggest[case_id]
+
+    def load_volume(self, case_id: str) -> np.ndarray:
+        biggest = self._biggest_for(str(case_id))
+        paths = self._slices(str(case_id))
+        half = self.num_imgs // 2
+        lo = max(0, biggest - half)
+        window = paths[lo:lo + self.num_imgs]
+
+        imgs = []
+        for p in window:
+            d = read_dicom(p)
+            arr = apply_voi_lut(d.pixel_array, d).astype(np.float32)
+            arr = crop_img(arr)
+            arr = _resize(arr, self.size)
+            m = arr.max()
+            if m > 0:
+                arr = arr / m          # per-slice 0-1 normalize (dataset.py:208)
+            imgs.append(arr)
+        vol = np.stack(imgs) if imgs else np.zeros((0, self.size, self.size),
+                                                   np.float32)
+        if vol.shape[0] < self.num_imgs:    # zero-pad depth (dataset.py:183-190)
+            pad = np.zeros((self.num_imgs - vol.shape[0], self.size, self.size),
+                           np.float32)
+            vol = np.concatenate([vol, pad])
+        return vol[None]  # (1, num_imgs, size, size)
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index: int):
+        """(img (1, 1, size, size, num_imgs) float32, label int) — the
+        framework's (M, C, D, H, W) convention with the slice axis as W,
+        matching an img_size of (size, size, num_imgs)."""
+        row = self.data.iloc[index]
+        vol = self.load_volume(str(row["ID"]))        # (1, num_imgs, size, size)
+        vol = np.ascontiguousarray(vol[0].transpose(1, 2, 0))[None, None]
+        return vol, int(row[self.target])
+
+    def batch(self, indices):
+        items = [self[i] for i in indices]
+        return (np.stack([it[0] for it in items]),
+                np.asarray([it[1] for it in items], dtype=np.int32))

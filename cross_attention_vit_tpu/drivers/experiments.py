@@ -1,0 +1,217 @@
+"""Experiment drivers — the main_mist.py equivalents.
+
+Reproduces the live driver's behavior (reference main_mist.py):
+  * the Params hyperparameter grids (main_mist.py:69-79, same values);
+  * `train_full`: 4 test seeds × {ModelCross, ModelVIT} × grid; 15% test
+    split then 18% val split with the same seed (:167, :182); weighted
+    sampler; top-10 val_loss checkpoints with run-tagged filenames
+    (:174-180); TensorBoard+CSV loggers (:183-184); config mutated in place
+    across grid points via modify_config (:186-188 — preserved, quirk and
+    all);
+  * `train_cv`: the StratifiedKFold variant (:84-149).  The reference's
+    version crashes on undefined names (:94-95, :106); this one implements
+    its evident intent and is tested.
+
+Unlike the reference (which trains at import, main_mist.py:222), these are
+functions with a __main__ guard and flags.  `devices`/`num_nodes` become a
+Mesh: DP over all local devices by default; multi-host via
+parallel.multihost_init.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..configs import Params, get_mgmt_config, get_mgmt_cross_config, modify_config
+from ..data.dataset import BrainDataset, WeightedRandomSampler, create_sampler_weights
+from ..data.labels import clean_data, load_labels
+from ..data.loader import PrefetchLoader
+from ..models import model_cross, model_vit
+from ..train.checkpoint import CheckpointManager, LatestCheckpointer
+from ..train.loggers import CSVLogger, MultiLogger, TensorBoardLogger
+from ..train.trainer import Trainer
+
+MODS = ["DWI", "SWI", "T1c", "brain_parenchyma_segmentation",
+        "tumor_segmentation", "T2", "ADC", "ASL", "FLAIR"]
+
+# the live grids (reference main_mist.py:69-79)
+params_list1 = [
+    Params(lr=1e-4, dropout=0.25, attn_order={"0": "1", "1": "2", "2": "0"},
+           optim_params={"T_max": 250, "eta_min": 1e-6}, weight_decay=5e-4,
+           img_types=(MODS[0], MODS[1], MODS[7]), label_smoothing=0.0,
+           img_aug=True),
+    Params(lr=1e-4, dropout=0.2, attn_order={"0": "1", "1": "2"},
+           optim_params={"T_max": 250, "eta_min": 1e-6}, weight_decay=5e-4,
+           img_types=(MODS[0], MODS[1], MODS[7]), label_smoothing=0.0,
+           img_aug=True),
+]
+
+params_list2 = [
+    Params(lr=1e-4, dropout=0.1, attn_order={},
+           optim_params={"T_max": 150, "eta_min": 1e-6}, weight_decay=5e-4,
+           img_types=(MODS[1], MODS[0]), label_smoothing=0.0, img_aug=False),
+    Params(lr=1e-4, dropout=0.1, attn_order={},
+           optim_params={"T_max": 150, "eta_min": 1e-6}, weight_decay=5e-4,
+           img_types=(MODS[1], MODS[0]), label_smoothing=0.0, img_aug=True),
+]
+
+_MODELS = [model_cross, model_vit]
+_CONFIG_FACTORIES = [get_mgmt_cross_config, get_mgmt_config]
+
+
+def filter_available(data, folder) -> "object":
+    """Keep only subjects whose NIfTI folder exists on disk — the labels CSV
+    covers the full 501-subject cohort while a checkout may bundle a subset
+    (6 subjects here).  The reference crashes mid-epoch in that situation."""
+    mask = data["ID"].apply(lambda c: (Path(folder) / f"{c}_nifti").is_dir())
+    return data[mask]
+
+
+def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
+             out_dir, run_name, max_epochs, batch_size, seed, verbose):
+    out = Path(out_dir)
+    checkpoint = CheckpointManager(out / "checkpoints" / "cross",
+                                   monitor="val_loss", save_top_k=10,
+                                   mode="min", tag=run_name)
+    logger = MultiLogger(
+        TensorBoardLogger(out / "lightning_logs" / "cross", run_name),
+        CSVLogger(out / "csv_logs" / "cross", run_name))
+    latest = LatestCheckpointer(out / "latest" / run_name)
+
+    sampler = WeightedRandomSampler(
+        create_sampler_weights(train_df, cur_config.target),
+        num_samples=len(train_df), seed=seed)
+
+    train_ds = BrainDataset(train_df, cur_config, types=params.img_types,
+                            is_train=True, folder=folder)
+    val_ds = BrainDataset(val_df, cur_config, types=params.img_types,
+                          is_train=False, folder=folder)
+    train_loader = PrefetchLoader(train_ds, batch_size=batch_size, num_workers=5)
+    val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5)
+
+    trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
+                      logger=logger, checkpoint=checkpoint, latest=latest,
+                      seed=seed)
+    history = trainer.fit(train_loader, val_loader, sampler=sampler,
+                          verbose=verbose)
+    return trainer, history
+
+
+def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
+               out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
+               max_epochs=250, batch_size=8, verbose=True, overrides=None,
+               only_available=False):
+    """The live driver (reference main_mist.py:156-219)."""
+    from sklearn.model_selection import train_test_split
+
+    params_big = params_big or [params_list1, params_list2]
+    big_data = clean_data(load_labels(labels_csv), "MGMT status")
+    if only_available:
+        big_data = filter_available(big_data, folder)
+
+    results = {}
+    for r, seed in enumerate(test_seeds):
+        data, test_df = train_test_split(big_data, test_size=0.15,
+                                         random_state=seed)
+        for m, (model_module, factory) in enumerate(zip(_MODELS,
+                                                        _CONFIG_FACTORIES)):
+            cur_config = factory()
+            for i, params in enumerate(params_big[m]):
+                # .18 * .85 ≈ .15 (reference comment, main_mist.py:181)
+                train_df, val_df = train_test_split(data, test_size=0.18,
+                                                    random_state=seed)
+                modify_config(cur_config, params)
+                modify_config(cur_config,
+                              {"num_modalities": len(params.img_types)})
+                if overrides:
+                    modify_config(cur_config, overrides)
+                run_name = f"test_{run}_{r}_{m}_{i}"
+                trainer, history = _run_one(
+                    model_module, cur_config, params, train_df, val_df,
+                    folder=folder, out_dir=out_dir, run_name=run_name,
+                    max_epochs=max_epochs, batch_size=batch_size, seed=seed,
+                    verbose=verbose)
+                results[run_name] = history
+    return results
+
+
+def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
+             out_dir="runs", run=145, test_seed=6969, cv_seeds=(6253, 9253),
+             k: int = 5, max_epochs=250, batch_size=8, verbose=True,
+             overrides=None, only_available=False):
+    """Stratified k-fold variant (reference main_mist.py:84-149, repaired)."""
+    from sklearn.model_selection import StratifiedKFold, train_test_split
+
+    params_big = params_big or [params_list1, params_list2]
+    big_data = clean_data(load_labels(labels_csv), "MGMT status")
+    if only_available:
+        big_data = filter_available(big_data, folder)
+    data, _test_df = train_test_split(big_data, test_size=0.15,
+                                      random_state=test_seed)
+
+    results = {}
+    for r, cv_seed in enumerate(cv_seeds):
+        for m, (model_module, factory) in enumerate(zip(_MODELS,
+                                                        _CONFIG_FACTORIES)):
+            cur_config = factory()
+            kfold = StratifiedKFold(n_splits=k, shuffle=True,
+                                    random_state=cv_seed)
+            for i, params in enumerate(params_big[m]):
+                modify_config(cur_config, params)
+                modify_config(cur_config,
+                              {"num_modalities": len(params.img_types)})
+                if overrides:
+                    modify_config(cur_config, overrides)
+                splits = kfold.split(data, data[cur_config.target])
+                for fold, (train_idx, val_idx) in enumerate(splits):
+                    run_name = f"{run}_{i}_{fold}_{m}_{r}"
+                    trainer, history = _run_one(
+                        model_module, cur_config, params,
+                        data.iloc[train_idx], data.iloc[val_idx],
+                        folder=folder, out_dir=out_dir, run_name=run_name,
+                        max_epochs=max_epochs, batch_size=batch_size,
+                        seed=cv_seed, verbose=verbose)
+                    results[run_name] = history
+    return results
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="cross_attention_vit_tpu trainer")
+    p.add_argument("--mode", choices=["full", "cv"], default="full")
+    p.add_argument("--labels", default="/root/reference/labels.csv")
+    p.add_argument("--data", default="/root/reference/ucsf-data")
+    p.add_argument("--out", default="runs")
+    p.add_argument("--epochs", type=int, default=250)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seeds", type=int, nargs="*", default=None,
+                   help="test seeds (default: the reference's 4 seeds)")
+    p.add_argument("--grid-index", type=int, default=None,
+                   help="run only this grid point of each params list")
+    p.add_argument("--model", choices=["cross", "vit", "both"], default="both")
+    p.add_argument("--only-available", action="store_true",
+                   help="drop labels rows whose volumes are not on disk")
+    args = p.parse_args(argv)
+
+    grids = [list(params_list1), list(params_list2)]
+    if args.grid_index is not None:
+        grids = [[g[args.grid_index]] for g in grids]
+    if args.model != "both":
+        keep = 0 if args.model == "cross" else 1
+        grids = [g if m == keep else [] for m, g in enumerate(grids)]
+
+    kwargs = dict(labels_csv=args.labels, folder=args.data, out_dir=args.out,
+                  max_epochs=args.epochs, batch_size=args.batch_size,
+                  only_available=args.only_available)
+    if args.mode == "full":
+        if args.seeds:
+            kwargs["test_seeds"] = tuple(args.seeds)
+        return train_full(grids, **kwargs)
+    return train_cv(grids, **kwargs)
+
+
+if __name__ == "__main__":
+    main()

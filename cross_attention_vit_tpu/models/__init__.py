@@ -1,1 +1,2 @@
-from . import model_cross, model_vit  # noqa: F401
+from . import (cnn_vit, densenet, model_cross, model_vit, surgery,  # noqa: F401
+               vit3d)

@@ -87,48 +87,147 @@ def make_eval_step(model_apply, config: Config):
     return jax.jit(step)
 
 
+def make_stateful_train_step(model_apply, config: Config, donate: bool = True):
+    """Train step for models with mutable state (BatchNorm running stats —
+    the vit3d family): apply(params, state, cfg, img, labels, train, rng)
+    → (logits, loss, new_state).  Gradients flow through params only; the
+    state update rides along (torch semantics: BN stats are buffers)."""
+    weight_decay = config.weight_decay
+    img_aug = bool(config.get("img_aug", False))
+
+    def step(params, model_state, opt_state, img, labels, lr, rng):
+        if img_aug:
+            from ..data.augment import augment_batch
+
+            aug_rng, rng = jax.random.split(rng)
+            img = augment_batch(aug_rng, img)
+
+        def loss_fn(p):
+            logits, loss, new_state = model_apply(p, model_state, config, img,
+                                                  labels, train=True, rng=rng)
+            return loss, (logits, new_state)
+
+        (loss, (logits, new_state)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        params, opt_state = optim.update(grads, opt_state, params, lr,
+                                         weight_decay=weight_decay)
+        preds = jnp.argmax(logits, axis=1)
+        aux = {
+            "loss": loss,
+            "counts": confusion_counts(preds, labels),
+            "probs": jax.nn.softmax(logits, axis=1)[:, 1],
+            "labels": labels,
+        }
+        return params, new_state, opt_state, aux
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_stateful_eval_step(model_apply, config: Config):
+    def step(params, model_state, img, labels):
+        logits, loss, _ = model_apply(params, model_state, config, img, labels,
+                                      train=False)
+        preds = jnp.argmax(logits, axis=1)
+        return {
+            "loss": loss,
+            "logits": logits,
+            "counts": confusion_counts(preds, labels),
+            "probs": jax.nn.softmax(logits, axis=1)[:, 1],
+            "labels": labels,
+        }
+
+    return jax.jit(step)
+
+
 class Trainer:
     def __init__(self, model_module, config: Config, max_epochs: int,
                  logger=None, checkpoint: CheckpointManager | None = None,
                  latest: LatestCheckpointer | None = None, seed: int = 0,
-                 data_sharding=None, log_every_epochs: int = 1):
+                 data_sharding=None, log_every_epochs: int = 1,
+                 stateful: bool = False, schedule: str = "cosine",
+                 latest_every: int = 1, checkpoint_monitor: str = "val_loss"):
+        """stateful: model carries mutable state (BatchNorm families) —
+        init returns (params, state), apply takes/returns state.
+        schedule: 'cosine' (model_cross/model_vit contract) or 'plateau'
+        (the vit3d/cnn_vit contract — ReduceLROnPlateau on val_loss,
+        reference modelv2.py:280-292, model.py:322-334).
+        latest_every: rolling-checkpoint cadence in epochs (full-size states
+        are ~3 GB; every epoch is wasteful for long runs)."""
         self.model = model_module
         self.config = config
         self.max_epochs = max_epochs
         self.logger = logger or MultiLogger()
         self.checkpoint = checkpoint
         self.latest = latest
+        self.latest_every = max(1, latest_every)
         self.seed = seed
         self.data_sharding = data_sharding
         self.log_every = log_every_epochs
+        self.stateful = stateful
+        # which history key gates top-k checkpoints: val_loss for the live
+        # driver (main_mist.py:176), train_loss for the stale one (main.py:28)
+        self.checkpoint_monitor = checkpoint_monitor
 
-        self.lr_fn = cosine_annealing_lr(
-            config.lr, config.optim_params["T_max"], config.optim_params["eta_min"])
-        self.train_step = make_train_step(model_module.apply, config)
-        self.eval_step = make_eval_step(model_module.apply, config)
+        if schedule == "cosine":
+            self.lr_fn = cosine_annealing_lr(
+                config.lr, config.optim_params["T_max"],
+                config.optim_params["eta_min"])
+            self.plateau = None
+        elif schedule == "plateau":
+            from .schedule import ReduceLROnPlateau
+
+            op = config.optim_params
+            self.plateau = ReduceLROnPlateau(
+                config.lr, factor=op.get("factor", 0.1),
+                patience=op.get("patience", 10))
+            self.lr_fn = lambda epoch: self.plateau.lr
+        else:
+            raise ValueError(f"unknown schedule {schedule!r}")
+
+        if stateful:
+            self.train_step = make_stateful_train_step(model_module.apply, config)
+            self.eval_step = make_stateful_eval_step(model_module.apply, config)
+        else:
+            self.train_step = make_train_step(model_module.apply, config)
+            self.eval_step = make_eval_step(model_module.apply, config)
 
         self.params = None
+        self.model_state = None
         self.opt_state = None
         self.global_step = 0
 
     # -- lifecycle -----------------------------------------------------------
-    def init_state(self, params=None):
+    def init_state(self, params=None, model_state=None):
         if params is None:
-            params = self.model.init(jax.random.key(self.seed), self.config)
+            out = self.model.init(jax.random.key(self.seed), self.config)
+            if self.stateful:
+                params, model_state = out
+            else:
+                params = out
         self.params = params
+        self.model_state = model_state
         self.opt_state = optim.init(params)
         return self
+
+    def _ckpt_state(self, epoch: int) -> dict:
+        state = {"params": self.params, "opt": self.opt_state,
+                 "epoch": jnp.asarray(epoch, jnp.int32)}
+        if self.stateful:
+            state["model_state"] = self.model_state
+        return state
 
     def maybe_resume(self):
         """Resume params/opt/epoch from the rolling latest checkpoint."""
         if self.latest is None or self.params is None:
             return 0
-        like = {"params": self.params, "opt": self.opt_state,
-                "epoch": jnp.zeros((), jnp.int32)}
+        like = self._ckpt_state(0)
         step, state = self.latest.restore_latest(like)
         if state is None:
             return 0
         self.params, self.opt_state = state["params"], state["opt"]
+        if self.stateful:
+            self.model_state = state["model_state"]
         self.global_step = step
         return int(state["epoch"]) + 1
 
@@ -137,9 +236,14 @@ class Trainer:
         acc = MetricAccumulator()
         for imgs, labels in loader(indices):
             rng = jax.random.fold_in(epoch_rng, self.global_step)
-            self.params, self.opt_state, aux = self.train_step(
-                self.params, self.opt_state, imgs, labels,
-                jnp.asarray(lr, jnp.float32), rng)
+            lr_arr = jnp.asarray(lr, jnp.float32)
+            if self.stateful:
+                (self.params, self.model_state, self.opt_state,
+                 aux) = self.train_step(self.params, self.model_state,
+                                        self.opt_state, imgs, labels, lr_arr, rng)
+            else:
+                self.params, self.opt_state, aux = self.train_step(
+                    self.params, self.opt_state, imgs, labels, lr_arr, rng)
             self.global_step += 1
             acc.update(aux["loss"], jax.device_get(aux["counts"]),
                        aux["probs"], aux["labels"])
@@ -148,7 +252,10 @@ class Trainer:
     def _run_epoch_eval(self, loader, indices):
         acc = MetricAccumulator()
         for imgs, labels in loader(indices):
-            aux = self.eval_step(self.params, imgs, labels)
+            if self.stateful:
+                aux = self.eval_step(self.params, self.model_state, imgs, labels)
+            else:
+                aux = self.eval_step(self.params, imgs, labels)
             acc.update(aux["loss"], jax.device_get(aux["counts"]),
                        aux["probs"], aux["labels"])
         return acc.result()
@@ -185,14 +292,15 @@ class Trainer:
                 self.logger.log_metrics(row, epoch)
             history.append(row)
 
+            if self.plateau is not None:
+                self.plateau.step(row["val_loss"])
             if self.checkpoint is not None:
-                self.checkpoint.save(epoch, row["val_loss"],
-                                     {"params": self.params, "opt": self.opt_state,
-                                      "epoch": jnp.asarray(epoch, jnp.int32)})
-            if self.latest is not None:
-                self.latest.save(self.global_step,
-                                 {"params": self.params, "opt": self.opt_state,
-                                  "epoch": jnp.asarray(epoch, jnp.int32)})
+                self.checkpoint.save(epoch, row[self.checkpoint_monitor],
+                                     self._ckpt_state(epoch))
+            if self.latest is not None and (
+                    epoch % self.latest_every == self.latest_every - 1
+                    or epoch == self.max_epochs - 1):
+                self.latest.save(self.global_step, self._ckpt_state(epoch))
             if verbose:
                 print(f"epoch {epoch:3d}  lr {lr:.2e}  "
                       f"train_loss {row['train_loss']:.4f}  "
@@ -208,10 +316,25 @@ class Trainer:
         logits, targets = [], []
         n = len(test_loader.dataset)
         for imgs, labels in test_loader(np.arange(n)):
-            aux = self.eval_step(self.params, imgs, labels)
+            if self.stateful:
+                aux = self.eval_step(self.params, self.model_state, imgs, labels)
+            else:
+                aux = self.eval_step(self.params, imgs, labels)
             logits.append(np.asarray(aux["logits"]))
             targets.append(np.asarray(aux["labels"]))
         return np.concatenate(logits), np.concatenate(targets)
+
+    def predict(self, loader, probabilities: bool = True):
+        """Inference over a loader: softmax positive-class probabilities (or
+        raw logits) + ids — the legacy manual-trainer predict() capability
+        (reference other_model.py:454-503, sigmoid over its single logit)."""
+        logits, _ = self.test(loader)
+        if not probabilities:
+            return logits
+        if logits.ndim == 1:  # single-logit BCE heads
+            return 1.0 / (1.0 + np.exp(-logits))
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        return (e / e.sum(axis=1, keepdims=True))[:, 1]
 
 
 _SHORT = {"accuracy": "acc", "precision": "prec", "recall": "rec",

@@ -1,0 +1,114 @@
+"""Driver tests: one tiny grid point of train_full and train_cv end to end
+over the bundled 6-subject cohort."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cross_attention_vit_tpu.configs import Params
+from cross_attention_vit_tpu.data.labels import clean_data, load_labels
+from cross_attention_vit_tpu.drivers import experiments
+
+UCSF = "/root/reference/ucsf-data"
+LABELS = "/root/reference/labels.csv"
+BUNDLED = ["UCSF-PDGM-0085", "UCSF-PDGM-0279", "UCSF-PDGM-0381",
+           "UCSF-PDGM-0392", "UCSF-PDGM-0451", "UCSF-PDGM-0516"]
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(UCSF),
+                                reason="ucsf-data not mounted")
+
+TINY = dict(hidden_dim=32, mlp_dim=64, num_heads=4, num_multi_blocks=1,
+            num_self_blocks=1, num_layers=1, dropout=0.0)
+
+
+def _bundled_csv(tmp_path):
+    df = pd.read_csv(LABELS)
+    suffixes = {b.split("-")[-1] for b in BUNDLED}
+    df = df[df["ID"].apply(lambda x: x.split("-")[-1].zfill(4) in suffixes)]
+    p = tmp_path / "labels6.csv"
+    df.to_csv(p, index=False)
+    return str(p)
+
+
+def _tiny_grids():
+    g1 = [Params(lr=1e-3, dropout=0.0, attn_order={"0": "1", "1": "0"},
+                 optim_params={"T_max": 2, "eta_min": 1e-6}, weight_decay=0.0,
+                 img_types=("T1c", "FLAIR"), label_smoothing=0.0, img_aug=False)]
+    g2 = [Params(lr=1e-3, dropout=0.0, attn_order={},
+                 optim_params={"T_max": 2, "eta_min": 1e-6}, weight_decay=0.0,
+                 img_types=("T1c",), label_smoothing=0.0, img_aug=False)]
+    return [g1, g2]
+
+
+def test_train_full_tiny(tmp_path):
+    results = experiments.train_full(
+        _tiny_grids(), labels_csv=_bundled_csv(tmp_path), folder=UCSF,
+        out_dir=tmp_path / "runs", test_seeds=(2004,), max_epochs=2,
+        batch_size=2, verbose=False, overrides=TINY)
+    assert set(results) == {"test_200_0_0_0", "test_200_0_1_0"}
+    for name, history in results.items():
+        assert len(history) == 2
+        assert np.isfinite(history[-1]["train_loss"])
+        assert np.isfinite(history[-1]["val_loss"])
+    # artifacts: checkpoints + csv logs + latest
+    assert list((tmp_path / "runs" / "checkpoints" / "cross").glob("*.npz"))
+    assert (tmp_path / "runs" / "csv_logs" / "cross" / "test_200_0_0_0"
+            / "metrics.csv").exists()
+    assert list((tmp_path / "runs" / "latest" / "test_200_0_0_0").glob("step=*.npz"))
+
+
+def test_train_cv_tiny(tmp_path):
+    g = [[_tiny_grids()[0][0]], [_tiny_grids()[1][0]]]
+    results = experiments.train_cv(
+        g, labels_csv=_bundled_csv(tmp_path), folder=UCSF,
+        out_dir=tmp_path / "runs", cv_seeds=(6253,), k=2, max_epochs=1,
+        batch_size=2, verbose=False, overrides=TINY)
+    # 1 seed × 2 models × 1 grid-point × 2 folds
+    assert len(results) == 4
+    for history in results.values():
+        assert np.isfinite(history[-1]["val_loss"])
+
+
+def test_train_vit3d_tiny(tmp_path):
+    from cross_attention_vit_tpu.drivers.legacy import train_vit3d
+
+    trainer, history = train_vit3d(
+        labels_csv=_bundled_csv(tmp_path), folder=UCSF,
+        out_dir=tmp_path / "runs", max_epochs=2, batch_size=2,
+        img_types=("T1c",), verbose=False, only_available=True,
+        overrides=dict(hidden_dim=16, num_heads=2, num_layers=1,
+                       img_size=(32, 32, 16)))
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["train_loss"])
+    # train_loss-monitored checkpoints (the stale driver's policy)
+    names = [f.name for f in
+             (tmp_path / "runs" / "checkpoints" / "vit3d").glob("*.npz")]
+    assert names and all("train_loss" in n for n in names)
+
+
+def test_train_rsna_tiny(tmp_path):
+    from cross_attention_vit_tpu.data.dicom import write_dicom
+    from cross_attention_vit_tpu.drivers.legacy import train_rsna
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for case, label in [("00001", 1), ("00002", 0), ("00003", 1), ("00004", 0)]:
+        d = tmp_path / "dicom" / case / "FLAIR"
+        d.mkdir(parents=True)
+        for i in range(6):
+            px = (rng.uniform(0, 2000, size=(40, 40))).astype(np.uint16)
+            write_dicom(d / f"Image-{i}.dcm", px)
+        rows.append({"ID": case, "MGMT_value": label})
+    csv = tmp_path / "rsna.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    trainer, history, preds = train_rsna(
+        labels_csv=csv, folder=tmp_path / "dicom", out_dir=tmp_path / "runs",
+        num_imgs=4, size=64, max_epochs=1, batch_size=2, verbose=False,
+        overrides=dict(hidden_dim=32, mlp_dim=64, num_heads=4, num_layers=1,
+                       patch_size=(32, 32, 4)))
+    assert np.isfinite(history[-1]["val_loss"])
+    assert preds.shape == (1,)  # 20% of 4 cases
+    assert ((0 <= preds) & (preds <= 1)).all()
