@@ -45,6 +45,9 @@ class BrainDataset:
             from . import native
             use_native = native.available()
         self.use_native = use_native
+        # when not caching, the C++ batch decoder beats per-item Python;
+        # with a cache, per-item (cached) reads win after the first epoch
+        self.fast_batch = bool(use_native and self._cache is None)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -74,9 +77,27 @@ class BrainDataset:
         return np.stack(vols), label  # (M, 1, D, H, W), int
 
     def batch(self, indices: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
+        if self.use_native and self._cache is None:
+            return self._batch_native(indices)
         items = [self[i] for i in indices]
         imgs = np.stack([it[0] for it in items])
         labels = np.asarray([it[1] for it in items], dtype=np.int32)
+        return imgs, labels
+
+    def _batch_native(self, indices: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
+        """Hot path: one C++ call decodes every (sample, modality) volume of
+        the batch straight into the batch buffer — no per-item Python, no
+        np.stack copy (native/nifti_decode.cpp batch API)."""
+        from . import native
+
+        rows = [self.data.iloc[i] for i in indices]
+        paths = [volume_path(self.folder, row["ID"], t)
+                 for row in rows for t in self.types]
+        flat = native.decode_crop_batch(paths, self.img_size, fill=-1.0,
+                                        num_threads=min(8, len(paths)))
+        B, M = len(rows), len(self.types)
+        imgs = flat.reshape(B, M, 1, *self.img_size)
+        labels = np.asarray([int(r[self.target]) for r in rows], dtype=np.int32)
         return imgs, labels
 
 

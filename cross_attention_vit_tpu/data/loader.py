@@ -55,7 +55,8 @@ class PrefetchLoader:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
 
         def fetch_batch(b):
-            if not hasattr(self.dataset, "__getitem__"):
+            if getattr(self.dataset, "fast_batch", False) or \
+                    not hasattr(self.dataset, "__getitem__"):
                 return self.dataset.batch(b)
             # decode items in parallel: gunzip releases the GIL, and decode
             # overlaps the relay wait of the previous batch's device_put
