@@ -74,11 +74,11 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
-                                   mode="min", tag=run_name)
+                                   mode="min", tag=run_name, async_write=True)
     logger = MultiLogger(
         TensorBoardLogger(out / "lightning_logs" / "cross", run_name),
         CSVLogger(out / "csv_logs" / "cross", run_name))
-    latest = LatestCheckpointer(out / "latest" / run_name)
+    latest = LatestCheckpointer(out / "latest" / run_name, async_write=True)
 
     sampler = WeightedRandomSampler(
         create_sampler_weights(train_df, cur_config.target),

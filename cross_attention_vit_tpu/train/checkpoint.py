@@ -15,10 +15,23 @@ from __future__ import annotations
 import json
 import os
 import re
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import jax
 import numpy as np
+
+# One background writer: the host->disk np.savez of a full-size state is
+# ~3 GB; fetching to host is synchronous (a consistent snapshot) but the
+# file write overlaps the next epoch's compute.
+_writer = ThreadPoolExecutor(max_workers=1)
+_pending: list = []
+
+
+def wait_for_writes() -> None:
+    """Block until all async checkpoint writes are durable."""
+    while _pending:
+        _pending.pop().result()
 
 
 def _flatten(tree) -> dict[str, np.ndarray]:
@@ -39,9 +52,23 @@ def _path_str(p) -> str:
     return str(p)
 
 
-def save_pytree(path: str | Path, tree) -> None:
-    flat = _flatten(tree)
-    np.savez(path, **flat)
+def save_pytree(path: str | Path, tree, async_write: bool = False) -> None:
+    """Snapshot `tree` to host synchronously; write the npz either inline or
+    on the background writer (async_write).  Async writes go via a temp file
+    + atomic rename so a crash mid-write never leaves a torn checkpoint."""
+    flat = _flatten(tree)  # device_get: consistent snapshot taken NOW
+    if not async_write:
+        np.savez(path, **flat)
+        return
+
+    path = Path(path)
+
+    def write():
+        tmp = path.with_suffix(".tmp.npz")
+        np.savez(tmp, **flat)
+        os.replace(tmp, path)
+
+    _pending.append(_writer.submit(write))
 
 
 def restore_pytree(path: str | Path, like) -> object:
@@ -71,13 +98,15 @@ class CheckpointManager:
     """
 
     def __init__(self, dirpath: str | Path, monitor: str = "val_loss",
-                 save_top_k: int = 10, mode: str = "min", tag: str = ""):
+                 save_top_k: int = 10, mode: str = "min", tag: str = "",
+                 async_write: bool = False):
         self.dir = Path(dirpath)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
         self.k = save_top_k
         self.mode = mode
         self.tag = tag
+        self.async_write = async_write
         self._manifest_path = self.dir / f"manifest{('_' + tag) if tag else ''}.json"
         self._entries: list[dict] = []
         if self._manifest_path.exists():
@@ -95,7 +124,7 @@ class CheckpointManager:
                 return None
         fname = f"epoch={epoch:02d}-{self.monitor}={metric_value:.4f}{self.tag}.npz"
         path = self.dir / fname
-        save_pytree(path, state)
+        save_pytree(path, state, async_write=self.async_write)
         self._entries.append({"epoch": epoch, "metric": float(metric_value),
                               "file": fname})
         self._entries.sort(key=lambda e: e["metric"],
@@ -124,19 +153,29 @@ class LatestCheckpointer:
     """Rolling 'latest step' checkpoint for preemption-safe resume — the TPU
     robustness feature the reference lacks (SURVEY.md §5 failure-detection row)."""
 
-    def __init__(self, dirpath: str | Path, keep: int = 2):
+    def __init__(self, dirpath: str | Path, keep: int = 2,
+                 async_write: bool = False):
         self.dir = Path(dirpath)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.keep = keep
+        self.async_write = async_write
 
     def save(self, step: int, state) -> Path:
         path = self.dir / f"step={step}.npz"
-        save_pytree(path, state)
+        save_pytree(path, state, async_write=self.async_write)
+        if self.async_write:
+            # the writer is single-threaded, so queuing the prune after the
+            # write job guarantees it only removes durably-replaced files
+            _pending.append(_writer.submit(self._prune))
+        else:
+            self._prune()
+        return path
+
+    def _prune(self):
         existing = sorted(self.dir.glob("step=*.npz"),
                           key=lambda p: int(_LATEST_RE.search(p.name).group(1)))
         for old in existing[:-self.keep]:
             old.unlink()
-        return path
 
     def latest_step(self) -> int | None:
         steps = [int(_LATEST_RE.search(p.name).group(1))

@@ -308,6 +308,9 @@ class Trainer:
                       f"val_acc {row['val_acc']:.3f}  "
                       f"({row['epoch_time_s']:.1f}s)")
         self.logger.finalize()
+        from .checkpoint import wait_for_writes
+
+        wait_for_writes()  # flush async checkpoint writes before returning
         return history
 
     def test(self, test_loader):

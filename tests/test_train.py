@@ -291,3 +291,23 @@ def test_trainer_with_augmentation_runs(tmp_path):
     t = Trainer(model_vit, cfg, max_epochs=2, seed=2)
     hist = t.fit(loader, loader, verbose=False)
     assert np.isfinite(hist[-1]["train_loss"])
+
+
+def test_async_checkpoint_writes(tmp_path):
+    from cross_attention_vit_tpu.train.checkpoint import (CheckpointManager,
+                                                          LatestCheckpointer,
+                                                          wait_for_writes)
+    state = {"w": jnp.arange(100.0)}
+    mgr = CheckpointManager(tmp_path / "topk", save_top_k=2, async_write=True)
+    mgr.save(0, 1.0, state)
+    mgr.save(1, 0.5, state)
+    lc = LatestCheckpointer(tmp_path / "latest", keep=1, async_write=True)
+    lc.save(10, state)
+    lc.save(20, state)
+    wait_for_writes()
+    assert len(list((tmp_path / "topk").glob("*.npz"))) == 2
+    latest = list((tmp_path / "latest").glob("step=*.npz"))
+    assert [p.name for p in latest] == ["step=20.npz"]  # prune ordered after write
+    step, got = lc.restore_latest(state)
+    assert step == 20
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(100.0))
