@@ -36,6 +36,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
+    """Single-block path: the whole (N̂, N̂) score matrix fits VMEM — fastest
+    shape for the live geometry (N ≈ 513)."""
     q = q_ref[0, 0]  # (N̂, D̂)
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -51,29 +53,99 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
+def _attn_kernel_blocked(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         n_valid: int, block_kv: int):
+    """Online-softmax path for long sequences: one q block per program,
+    streaming over KV chunks with running (max, sum, acc) — VMEM holds only
+    (BQ, block_kv) scores at a time, so sequence length is bounded by HBM,
+    not by the N² score matrix.  This is the growth path SURVEY.md §5 asks
+    for (longer sequences at smaller patch sizes) without a ring/Ulysses
+    layer."""
+    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D̂)
+    bq, d = q.shape
+    n_pad = k_ref.shape[2]
+    num_kv = n_pad // block_kv
+
+    def body(i, carry):
+        m, l, acc = carry
+        kb = k_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
+        vb = v_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (BQ, block_kv)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_kv
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
+        return m_new, l, acc
+
+    init = (jnp.full((bq, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bq, 1), jnp.float32),
+            jnp.zeros((bq, d), jnp.float32))
+    m, l, acc = jax.lax.fori_loop(0, num_kv, body, init)
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+# above this sequence length, switch from the single-block kernel to the
+# online-softmax streaming kernel (the N² f32 score block at 1024 is 4 MB)
+_SINGLE_BLOCK_MAX = 1024
+_BLOCK_Q = 512
+_BLOCK_KV = 512
+
+
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
                    scale: float) -> jax.Array:
     B, K, N, D = q.shape
-    n_pad = _round_up(N, 8)
     d_pad = _round_up(D, 128)
+    single = N <= _SINGLE_BLOCK_MAX
+    n_pad = _round_up(N, 8) if single else _round_up(N, _BLOCK_Q)
     if n_pad != N or d_pad != D:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
 
-    grid = (B, K)
-    spec = pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h: (b, h, 0, 0),
-                        memory_space=pltpu.VMEM)
     # interpret mode lets the sharding/unit tests exercise the kernel on the
     # CPU backend (Mosaic only compiles for real TPUs)
     interpret = jax.default_backend() != "tpu"
+
+    if single:
+        grid = (B, K)
+        spec = pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            partial(_attn_kernel, scale=scale, n_valid=N),
+            grid=grid,
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * B * K * (n_pad * n_pad * d_pad * 2),
+                bytes_accessed=4 * B * K * n_pad * d_pad * 4,
+                transcendentals=B * K * n_pad * n_pad),
+            interpret=interpret,
+        )(q, k, v)
+        return out[:, :, :N, :D]
+
+    grid = (B, K, n_pad // _BLOCK_Q)
+    q_spec = pl.BlockSpec((1, 1, _BLOCK_Q, d_pad),
+                          lambda b, h, i: (b, h, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, 1, n_pad, d_pad),
+                           lambda b, h, i: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_attn_kernel, scale=scale, n_valid=N),
+        partial(_attn_kernel_blocked, scale=scale, n_valid=N,
+                block_kv=_BLOCK_KV),
         grid=grid,
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * (n_pad * n_pad * d_pad * 2),
             bytes_accessed=4 * B * K * n_pad * d_pad * 4,

@@ -83,3 +83,36 @@ def test_flash_in_model_forward():
     flash = model_cross.apply(params, cfg, img)
     np.testing.assert_allclose(np.asarray(flash), np.asarray(base),
                                atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [1025, 1600])
+def test_flash_blocked_long_sequence(n):
+    """N above the single-block threshold routes through the online-softmax
+    streaming kernel; results must match the dense reference."""
+    rng = np.random.default_rng(5)
+    shape = (1, 2, n, 64)
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    out = flash_attention(q, k, v, 0.125)
+    want = _reference_sdpa(q, k, v, 0.125)
+    assert out.shape == shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_flash_blocked_gradients():
+    rng = np.random.default_rng(6)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 1, 1100, 32)).astype(np.float32))
+               for _ in range(3))
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 0.2) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_sdpa(q, k, v, 0.2) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
