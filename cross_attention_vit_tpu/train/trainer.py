@@ -146,14 +146,18 @@ class Trainer:
                  latest: LatestCheckpointer | None = None, seed: int = 0,
                  data_sharding=None, log_every_epochs: int = 1,
                  stateful: bool = False, schedule: str = "cosine",
-                 latest_every: int = 1, checkpoint_monitor: str = "val_loss"):
+                 latest_every: int = 1, checkpoint_monitor: str = "val_loss",
+                 mesh=None):
         """stateful: model carries mutable state (BatchNorm families) —
         init returns (params, state), apply takes/returns state.
         schedule: 'cosine' (model_cross/model_vit contract) or 'plateau'
         (the vit3d/cnn_vit contract — ReduceLROnPlateau on val_loss,
         reference modelv2.py:280-292, model.py:322-334).
         latest_every: rolling-checkpoint cadence in epochs (full-size states
-        are ~3 GB; every epoch is wasteful for long runs)."""
+        are ~3 GB; every epoch is wasteful for long runs).
+        mesh: a parallel.make_mesh Mesh — params/opt state are placed per the
+        TP sharding rules and batches shard over the 'data' axis; this is the
+        Trainer-level replacement for Lightning's devices/num_nodes."""
         self.model = model_module
         self.config = config
         self.max_epochs = max_epochs
@@ -162,6 +166,11 @@ class Trainer:
         self.latest = latest
         self.latest_every = max(1, latest_every)
         self.seed = seed
+        self.mesh = mesh
+        if mesh is not None and data_sharding is None:
+            from ..parallel import batch_sharding
+
+            data_sharding = batch_sharding(mesh, 6)  # (B, M, C, D, H, W)
         self.data_sharding = data_sharding
         self.log_every = log_every_epochs
         self.stateful = stateful
@@ -205,8 +214,16 @@ class Trainer:
                 params, model_state = out
             else:
                 params = out
+        if self.mesh is not None:
+            from ..parallel import replicated, shard_params
+
+            params = shard_params(params, self.mesh)
+            if model_state is not None:
+                model_state = jax.device_put(model_state, replicated(self.mesh))
         self.params = params
         self.model_state = model_state
+        # zeros_like preserves shardings, so Adam moments inherit the params'
+        # mesh placement automatically
         self.opt_state = optim.init(params)
         return self
 
@@ -225,7 +242,20 @@ class Trainer:
         step, state = self.latest.restore_latest(like)
         if state is None:
             return 0
-        self.params, self.opt_state = state["params"], state["opt"]
+        params, opt = state["params"], state["opt"]
+        if self.mesh is not None:
+            # restore returns host arrays — re-place them per the mesh rules
+            from ..parallel import replicated, shard_params
+
+            params = shard_params(params, self.mesh)
+            opt = optim.AdamState(step=jax.device_put(opt.step,
+                                                      replicated(self.mesh)),
+                                  mu=shard_params(opt.mu, self.mesh),
+                                  nu=shard_params(opt.nu, self.mesh))
+            if self.stateful:
+                state["model_state"] = jax.device_put(state["model_state"],
+                                                      replicated(self.mesh))
+        self.params, self.opt_state = params, opt
         if self.stateful:
             self.model_state = state["model_state"]
         self.global_step = step
@@ -268,6 +298,10 @@ class Trainer:
             self.init_state()
         if start_epoch is None:
             start_epoch = self.maybe_resume()
+        if self.data_sharding is not None:
+            for ld in (train_loader, val_loader):
+                if getattr(ld, "sharding", None) is None:
+                    ld.sharding = self.data_sharding
 
         n_train = len(train_loader.dataset)
         n_val = len(val_loader.dataset)

@@ -123,3 +123,37 @@ def test_mesh_validation():
         make_mesh(3, 2)  # 6 != 8
     with pytest.raises(ValueError):
         make_mesh(-1, 3)  # 8 % 3
+
+
+def test_trainer_with_mesh_end_to_end(tmp_path):
+    """Trainer(mesh=...) shards params/opt/batches and trains to completion
+    on the virtual 8-device mesh — the Lightning devices/num_nodes analogue."""
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.train.trainer import Trainer
+
+    class FakeDataset:
+        def __init__(self, imgs, labels):
+            self.imgs, self.labels = imgs, labels
+
+        def __len__(self):
+            return len(self.labels)
+
+        def batch(self, idx):
+            i = np.asarray(idx)
+            return self.imgs[i], self.labels[i]
+
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
+    labels = np.array([0, 1] * 8, dtype=np.int32)
+    imgs = (rng.normal(size=(16, 2, 1, 16, 16, 8)) +
+            labels[:, None, None, None, None, None] * 2).astype(np.float32)
+    ds = FakeDataset(imgs, labels)
+    loader = PrefetchLoader(ds, batch_size=8, drop_last=True)
+
+    mesh = make_mesh(4, 2)
+    trainer = Trainer(model_cross, cfg, max_epochs=8, mesh=mesh, seed=0)
+    history = trainer.fit(loader, loader, verbose=False)
+
+    assert history[-1]["train_loss"] < history[0]["train_loss"]
+    qkv = trainer.params["multi_blocks"][0]["self_blocks"][0][0]["attn"]["qkv"]["kernel"]
+    assert len(qkv.sharding.device_set) == 8  # stayed sharded through training
