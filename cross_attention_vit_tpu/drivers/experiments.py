@@ -74,7 +74,8 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
-                                   mode="min", tag=run_name, async_write=True)
+                                   mode="min", tag=run_name, async_write=True,
+                                   config=cur_config)
     logger = MultiLogger(
         TensorBoardLogger(out / "lightning_logs" / "cross", run_name),
         CSVLogger(out / "csv_logs" / "cross", run_name))

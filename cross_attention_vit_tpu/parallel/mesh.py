@@ -29,8 +29,11 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, "
+                         f"have {n}")
+    # sub-meshes are allowed: take a contiguous prefix (adjacent chips)
+    devices = devices.ravel()[:data * model]
     return Mesh(devices.reshape(data, model), ("data", "model"))
 
 

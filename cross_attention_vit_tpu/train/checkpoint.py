@@ -99,7 +99,7 @@ class CheckpointManager:
 
     def __init__(self, dirpath: str | Path, monitor: str = "val_loss",
                  save_top_k: int = 10, mode: str = "min", tag: str = "",
-                 async_write: bool = False):
+                 async_write: bool = False, config=None):
         self.dir = Path(dirpath)
         self.dir.mkdir(parents=True, exist_ok=True)
         self.monitor = monitor
@@ -107,6 +107,13 @@ class CheckpointManager:
         self.mode = mode
         self.tag = tag
         self.async_write = async_write
+        # persist the model config next to the weights so evaluation can
+        # rebuild the architecture without re-specifying it (the reference
+        # has no such provenance — Lightning ckpt hyperparams fill that role)
+        if config is not None:
+            cfg_dict = config.to_dict() if hasattr(config, "to_dict") else dict(config)
+            path = self.dir / f"config{('_' + tag) if tag else ''}.json"
+            path.write_text(json.dumps(cfg_dict, default=str, indent=1))
         self._manifest_path = self.dir / f"manifest{('_' + tag) if tag else ''}.json"
         self._entries: list[dict] = []
         if self._manifest_path.exists():
@@ -144,6 +151,29 @@ class CheckpointManager:
     def best_path(self) -> Path | None:
         e = self.best()
         return self.dir / e["file"] if e else None
+
+
+def load_config_for(checkpoint_path: str | Path):
+    """Find and load the config JSON persisted next to a checkpoint.
+    Prefers the config whose run tag appears in the checkpoint filename."""
+    from ..configs import Config
+
+    path = Path(checkpoint_path)
+    candidates = sorted(path.parent.glob("config*.json"))
+    best = None
+    for c in candidates:
+        tag = c.stem[len("config"):].lstrip("_")
+        if tag and tag in path.name:
+            best = c
+            break
+        if not tag and best is None:
+            best = c
+    if best is None and candidates:
+        best = candidates[0]
+    if best is None:
+        return None
+    raw = json.loads(best.read_text())
+    return Config(**raw)
 
 
 _LATEST_RE = re.compile(r"step=(\d+)\.npz$")

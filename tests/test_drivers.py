@@ -112,3 +112,31 @@ def test_train_rsna_tiny(tmp_path):
     assert np.isfinite(history[-1]["val_loss"])
     assert preds.shape == (1,)  # 20% of 4 cases
     assert ((0 <= preds) & (preds <= 1)).all()
+
+
+def test_evaluate_driver(tmp_path):
+    """Train one tiny grid point, then evaluate its best checkpoint through
+    the evaluate CLI — the architecture config is auto-loaded from the JSON
+    persisted next to the weights (no arch flags needed)."""
+    from cross_attention_vit_tpu.drivers import evaluate as ev
+
+    experiments.train_full(
+        _tiny_grids(), labels_csv=_bundled_csv(tmp_path), folder=UCSF,
+        out_dir=tmp_path / "runs", test_seeds=(2004,), max_epochs=1,
+        batch_size=2, verbose=False, overrides=TINY)
+    ckpts = sorted((tmp_path / "runs" / "checkpoints" / "cross").glob(
+        "*test_200_0_0_0.npz"))
+    assert ckpts
+    assert (tmp_path / "runs" / "checkpoints" / "cross"
+            / "config_test_200_0_0_0.json").exists()
+
+    metrics = ev.main([
+        "--checkpoint", str(ckpts[0]), "--model", "cross",
+        "--labels", _bundled_csv(tmp_path), "--data", UCSF,
+        "--img-types", "T1c", "FLAIR",
+        "--only-available", "--batch-size", "2",
+        "--mesh", "data=2,model=2",
+    ])
+    assert set(metrics) >= {"accuracy", "auc_roc", "n"}
+    assert metrics["n"] == 6
+    assert 0.0 <= metrics["accuracy"] <= 1.0

@@ -119,8 +119,10 @@ def test_sharded_eval_and_batch_sharding():
 
 
 def test_mesh_validation():
+    m = make_mesh(3, 2)  # sub-mesh of 6 of the 8 devices is allowed
+    assert m.devices.shape == (3, 2)
     with pytest.raises(ValueError):
-        make_mesh(3, 2)  # 6 != 8
+        make_mesh(8, 2)  # 16 > 8
     with pytest.raises(ValueError):
         make_mesh(-1, 3)  # 8 % 3
 
