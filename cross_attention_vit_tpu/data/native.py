@@ -24,7 +24,7 @@ _failed = False
 def _build() -> bool:
     _LIB.parent.mkdir(parents=True, exist_ok=True)
     cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB),
-           "-lz", "-lpthread"]
+           "-ldeflate", "-lz", "-lpthread"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True

@@ -14,7 +14,10 @@
 //   * crop bounds: pad = max(t-s,0) front-biased t//2, crop start
 //     max(padded/2 - t/2, 0)  (MONAI SpatialPad symmetric + CenterSpatialCrop).
 //
-// Build: g++ -O3 -shared -fPIC nifti_decode.cpp -o libniftidecode.so -lz -lpthread
+// Build: g++ -O3 -shared -fPIC nifti_decode.cpp -o libniftidecode.so \
+//        -ldeflate -lz -lpthread
+// (libdeflate does the gunzip — ~2-3x faster than zlib for whole-buffer
+// decompression; zlib remains the fallback when the gzip ISIZE footer lies.)
 
 #include <cmath>
 #include <cstdint>
@@ -24,6 +27,7 @@
 #include <thread>
 #include <vector>
 
+#include <libdeflate.h>
 #include <zlib.h>
 
 namespace {
@@ -55,7 +59,7 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
     return got == static_cast<size_t>(n);
 }
 
-bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
+bool gunzip_zlib(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
     z_stream s{};
     if (inflateInit2(&s, 15 + 32) != Z_OK) return false;  // auto gzip/zlib
     out.clear();
@@ -76,6 +80,31 @@ bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
     }
     inflateEnd(&s);
     return true;
+}
+
+bool gunzip(const std::vector<uint8_t>& in, std::vector<uint8_t>& out) {
+    // gzip stores the uncompressed size (mod 2^32) in the last 4 bytes —
+    // exact for our <4 GB volumes, letting libdeflate decompress the whole
+    // buffer in one shot.
+    if (in.size() >= 18) {
+        uint32_t isize;
+        std::memcpy(&isize, in.data() + in.size() - 4, 4);
+        if (isize > 0 && isize < (1u << 31)) {
+            out.resize(isize);
+            libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+            if (d) {
+                size_t actual = 0;
+                libdeflate_result r = libdeflate_gzip_decompress(
+                    d, in.data(), in.size(), out.data(), out.size(), &actual);
+                libdeflate_free_decompressor(d);
+                if (r == LIBDEFLATE_SUCCESS) {
+                    out.resize(actual);
+                    return true;
+                }
+            }
+        }
+    }
+    return gunzip_zlib(in, out);  // multi-member / lying-footer fallback
 }
 
 template <typename T>
