@@ -72,8 +72,8 @@ class PrefetchLoader:
                         return
                     imgs, labels = fetch_batch(b)
                     if self.sharding is not None:
-                        imgs = jax.device_put(imgs, self.sharding)
-                        labels = jax.device_put(labels, _label_sharding(self.sharding))
+                        imgs = _put(imgs, self.sharding)
+                        labels = _put(labels, _label_sharding(self.sharding))
                     else:
                         imgs = jax.device_put(imgs)
                         labels = jax.device_put(labels)
@@ -96,6 +96,20 @@ class PrefetchLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False)
+
+
+def _put(x, sharding):
+    """Place a host batch onto the mesh.
+
+    Single-process: a plain sharded device_put.  Multi-host (v5e pods /
+    multi-slice): each process loads only ITS shard of the global batch
+    (partition epoch indices by host — WeightedRandomSampler.epoch_indices
+    takes host_id) and the global array is assembled from process-local
+    data; the global batch size is local_batch × process_count along the
+    'data' axis."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)
 
 
 def _label_sharding(sharding: jax.sharding.Sharding) -> jax.sharding.Sharding:
