@@ -116,3 +116,21 @@ def test_flash_blocked_gradients():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+def test_pallas_backward_kernel_matches_xla():
+    """The fused Pallas backward (kept behind USE_PALLAS_BACKWARD; XLA's
+    recompute VJP measured faster at short N) must match the XLA gradients."""
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        _flash_backward_pallas)
+
+    rng = np.random.default_rng(7)
+    q, k, v, do = (jnp.asarray(rng.normal(size=(1, 2, 65, 32)).astype(np.float32))
+                   for _ in range(4))
+    scale = 32 ** -0.5
+    dq, dk, dv = _flash_backward_pallas(q, k, v, do, scale)
+    _, vjp = jax.vjp(lambda a, b, c: _reference_sdpa(a, b, c, scale), q, k, v)
+    rq, rk, rv = vjp(do)
+    for a, b in [(dq, rq), (dk, rk), (dv, rv)]:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
