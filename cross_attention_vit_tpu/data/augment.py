@@ -107,22 +107,41 @@ def _affine(cfg: AugmentConfig):
     return f
 
 
+def _zoom_matrix(size: int, z) -> jax.Array:
+    """1-D linear-interpolation matrix A (size, size) for keep-size zoom by
+    traced factor z about the center, edge-clamped ('nearest' boundary):
+    out = A @ signal.  Axis-aligned zoom is separable, so the 3-D resample
+    becomes three dense matmuls on the MXU instead of 8-way gathers — the
+    gather formulation cost ~350 ms/batch on TPU, this is ~ms."""
+    c = (size - 1) / 2.0
+    i = jnp.arange(size, dtype=jnp.float32)
+    src = (i - c) / z + c
+    src = jnp.clip(src, 0.0, size - 1.0)
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo_i = lo.astype(jnp.int32)
+    hi_i = jnp.minimum(lo_i + 1, size - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
+    a = (cols == lo_i[:, None]) * (1.0 - frac[:, None]) \
+        + (cols == hi_i[:, None]) * frac[:, None]
+    # lo == hi at the clamped edge double-counts; renormalize rows
+    return a / jnp.sum(a, axis=1, keepdims=True)
+
+
 def _zoom(cfg: AugmentConfig):
     def f(key, vol):
         D, H, W = vol.shape
         z = jax.random.uniform(key, (), minval=cfg.zoom_low, maxval=cfg.zoom_high)
-        # keep_size zoom == resample the volume on a grid scaled by 1/z about
-        # the center: z > 1 magnifies (center crop effect), z < 1 shrinks
-        # (edge-padded surround — MONAI pads with edge values).
-        center = jnp.array([(D - 1) / 2.0, (H - 1) / 2.0, (W - 1) / 2.0])
-        ii, jj, kk = jnp.meshgrid(jnp.arange(D), jnp.arange(H), jnp.arange(W),
-                                  indexing="ij")
-        coords = jnp.stack([ii.ravel(), jj.ravel(), kk.ravel()]).astype(jnp.float32)
-        src = (coords - center[:, None]) / z + center[:, None]
-        out = jax.scipy.ndimage.map_coordinates(
-            vol, [src[0].reshape(D, H, W), src[1].reshape(D, H, W),
-                  src[2].reshape(D, H, W)], order=1, mode="nearest")
-        return out
+        # precision='highest': default TPU f32 matmul passes cost ~3e-2
+        # absolute error on unit-scale data; full-precision passes are exact
+        # to 1e-6 and still ~3 ms per 9-volume batch
+        out = jnp.einsum("ab,bhw->ahw", _zoom_matrix(D, z), vol,
+                         precision="highest")
+        out = jnp.einsum("ab,dbw->daw", _zoom_matrix(H, z), out,
+                         precision="highest")
+        out = jnp.einsum("ab,dhb->dha", _zoom_matrix(W, z), out,
+                         precision="highest")
+        return out.astype(vol.dtype)
     return f
 
 
