@@ -16,6 +16,7 @@ gunzip work across epochs — the reference re-decodes every epoch.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
 from typing import Sequence
 
 import numpy as np
@@ -31,7 +32,8 @@ class BrainDataset:
     def __init__(self, data: pd.DataFrame, config: Config,
                  types: Sequence[str] = ("T1c", "T2"), is_train: bool = True,
                  folder: str = "ucsf-data", cache: bool = True,
-                 decode_workers: int = 0, use_native: bool | None = None):
+                 decode_workers: int = 0, use_native: bool | None = None,
+                 disk_cache: str | None = None):
         self.target = config.target
         self.data = data.reset_index(drop=True)
         self.types = tuple(types)
@@ -45,9 +47,17 @@ class BrainDataset:
             from . import native
             use_native = native.available()
         self.use_native = use_native
+        # Optional on-disk decoded cache: first touch decodes+crops and writes
+        # a raw .npy; later epochs (and later RUNS over the same cohort) read
+        # it back without gunzip.  A 250-epoch training run decodes each
+        # volume once instead of 250 times.
+        self._disk_cache = Path(disk_cache) if disk_cache else None
+        if self._disk_cache is not None:
+            self._disk_cache.mkdir(parents=True, exist_ok=True)
         # when not caching, the C++ batch decoder beats per-item Python;
         # with a cache, per-item (cached) reads win after the first epoch
-        self.fast_batch = bool(use_native and self._cache is None)
+        self.fast_batch = bool(use_native and self._cache is None
+                               and self._disk_cache is None)
 
     def __len__(self) -> int:
         return len(self.data)
@@ -56,12 +66,24 @@ class BrainDataset:
         key = (case_id, mri_type)
         if self._cache is not None and key in self._cache:
             return self._cache[key]
-        path = volume_path(self.folder, case_id, mri_type)
-        if self.use_native:
-            from . import native
-            vol = native.decode_crop(path, self.img_size, fill=-1.0)[None]
-        else:
-            vol = read_volume_cropped(path, self.img_size, fill=-1.0)[None]
+        vol = None
+        disk_path = None
+        if self._disk_cache is not None:
+            size_tag = "x".join(map(str, self.img_size))
+            disk_path = self._disk_cache / f"{case_id}_{mri_type}_{size_tag}.npy"
+            if disk_path.exists():
+                vol = np.load(disk_path)[None]
+        if vol is None:
+            path = volume_path(self.folder, case_id, mri_type)
+            if self.use_native:
+                from . import native
+                vol = native.decode_crop(path, self.img_size, fill=-1.0)[None]
+            else:
+                vol = read_volume_cropped(path, self.img_size, fill=-1.0)[None]
+            if disk_path is not None:
+                tmp = disk_path.with_suffix(".tmp.npy")
+                np.save(tmp, vol[0])
+                tmp.replace(disk_path)  # atomic vs concurrent readers
         if self._cache is not None:
             self._cache[key] = vol
         return vol  # (1, D, H, W)
@@ -77,7 +99,7 @@ class BrainDataset:
         return np.stack(vols), label  # (M, 1, D, H, W), int
 
     def batch(self, indices: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:
-        if self.use_native and self._cache is None:
+        if self.fast_batch:  # native batch decode; no mem/disk cache in play
             return self._batch_native(indices)
         items = [self[i] for i in indices]
         imgs = np.stack([it[0] for it in items])

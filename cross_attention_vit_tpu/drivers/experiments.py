@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
 
 from ..configs import Params, get_mgmt_config, get_mgmt_cross_config, modify_config
 from ..data.dataset import BrainDataset, WeightedRandomSampler, create_sampler_weights

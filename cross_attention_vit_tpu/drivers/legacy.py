@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
 
 from ..configs import get_mgmt_config, modify_config
 from ..data.dataset import BrainDataset, WeightedRandomSampler, create_sampler_weights

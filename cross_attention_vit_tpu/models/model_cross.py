@@ -161,10 +161,21 @@ def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
                        rng: RngStream, train: bool, cdt, impl: str) -> list[jax.Array]:
     """Per-stream self-attention stacks then attn_order-routed CLS fusion
     (reference model_cross.py:128-148)."""
+    remat = bool(config.get("remat", False))
+
+    def blk_fn(blk_params, x, key):
+        # a fresh RngStream per block keyed by an explicit argument keeps
+        # dropout deterministic under jax.checkpoint's backward recompute
+        return _self_block(blk_params, x, config, RngStream(key), train, cdt,
+                           impl)
+
+    if remat:
+        blk_fn = jax.checkpoint(blk_fn)
+
     attn = []
     for m, x in enumerate(streams):
         for blk in p["self_blocks"][m]:
-            x = _self_block(blk, x, config, rng, train, cdt, impl)
+            x = blk_fn(blk, x, rng() if train else jax.random.key(0))
         attn.append(x)
 
     routing = dict(_attn_pairs(config))  # validated (cls_stream -> token_stream)

@@ -84,14 +84,23 @@ def apply(params: dict, config: Config, img: jax.Array,
     x = x + params["pos_embedding"].astype(x.dtype)
     x = dropout(x, config.dropout, rngs, train)
 
-    for layer in params["layers"]:
+    def layer_fn(layer, x, key):
+        # explicit per-layer key → deterministic dropout under remat recompute
+        local = RngStream(key)
         a = self_attention(layer["attn"], layernorm(layer["attn_norm"], x),
-                           config.num_heads, config.dropout, rngs, train,
+                           config.num_heads, config.dropout, local, train,
                            compute_dtype=cdt, impl=impl)
-        x = stochastic_depth_row(a, drop_path, rngs, train) + x
+        x = stochastic_depth_row(a, drop_path, local, train) + x
         f = feed_forward(layer["ffn"], layernorm(layer["ffn_norm"], x),
-                         config.dropout, rngs, train, compute_dtype=cdt)
-        x = stochastic_depth_row(f, drop_path, rngs, train) + x
+                         config.dropout, local, train, compute_dtype=cdt)
+        x = stochastic_depth_row(f, drop_path, local, train) + x
+        return x
+
+    if config.get("remat", False):
+        layer_fn = jax.checkpoint(layer_fn)
+
+    for layer in params["layers"]:
+        x = layer_fn(layer, x, rngs() if train else jax.random.key(0))
 
     h = params["head"]
     cls_out = layernorm(h["norm"], x[:, 0])

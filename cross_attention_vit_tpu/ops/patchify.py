@@ -13,7 +13,7 @@ following embedding GEMM's operand layout).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 
 
 def patchify_3d(vol: jax.Array, patch_size: tuple[int, int, int]) -> jax.Array:

@@ -20,7 +20,6 @@ Lightning DDP + NCCL.
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import jax
 import jax.numpy as jnp

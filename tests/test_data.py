@@ -223,3 +223,21 @@ def test_read_volume_cropped_real_volume():
     naive = resize_with_pad_or_crop_np(nifti.read_volume(p), (128, 128, 64), -1.0)
     fused = nifti.read_volume_cropped(p, (128, 128, 64), -1.0)
     np.testing.assert_allclose(fused, naive, rtol=1e-6)
+
+
+@pytest.mark.skipif(not has_data, reason="ucsf-data not mounted")
+def test_disk_cache(tmp_path):
+    df = pd.DataFrame({"ID": ["UCSF-PDGM-0085"], "MGMT status": [1.0]})
+    cfg = get_mgmt_config()
+    modify_config(cfg, {"num_modalities": 1})
+    ds = BrainDataset(df, cfg, types=("FLAIR",), folder=UCSF, cache=False,
+                      disk_cache=str(tmp_path / "dc"))
+    img1, _ = ds[0]
+    cached = list((tmp_path / "dc").glob("*.npy"))
+    assert len(cached) == 1 and "128x128x64" in cached[0].name
+    # second dataset instance reads the cache (same values)
+    ds2 = BrainDataset(df, cfg, types=("FLAIR",), folder=UCSF, cache=False,
+                      disk_cache=str(tmp_path / "dc"))
+    img2, _ = ds2[0]
+    np.testing.assert_array_equal(img1, img2)
+    assert not list((tmp_path / "dc").glob("*.tmp.npy"))

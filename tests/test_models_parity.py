@@ -139,3 +139,43 @@ def test_param_counts_match_reference_formulas():
     shapes = jax.eval_shape(lambda k: model_vit.init(k, cfg_v), jax.random.key(0))
     n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert 55e6 < n < 60e6, n
+
+
+def test_remat_matches_non_remat():
+    """jax.checkpoint over blocks must not change values (fwd or grads)."""
+    import jax.numpy as jnp
+    from cross_attention_vit_tpu.train.trainer import make_train_step
+
+    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
+    params = model_cross.init(jax.random.key(0), cfg)
+    img, labels = make_batch(cfg)
+    key = jax.random.key(5)
+
+    def loss(p, cfg_):
+        return model_cross.apply(p, cfg_, img, labels, train=True, rng=key)[1]
+
+    cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
+    modify_config(cfg_r, {"remat": True})
+    l0 = float(loss(params, cfg))
+    l1 = float(loss(params, cfg_r))
+    assert l0 == pytest.approx(l1, rel=1e-6)
+
+    g0 = jax.grad(lambda p: loss(p, cfg))(params)
+    g1 = jax.grad(lambda p: loss(p, cfg_r))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_remat_vit_matches():
+    from cross_attention_vit_tpu.models import model_vit as mv
+
+    cfg = small_vit_config(2)
+    params = mv.init(jax.random.key(1), cfg)
+    img, labels = make_batch(cfg)
+    key = jax.random.key(7)
+    l0 = float(mv.apply(params, cfg, img, labels, train=True, rng=key)[1])
+    cfg_r = small_vit_config(2)
+    modify_config(cfg_r, {"remat": True})
+    l1 = float(mv.apply(params, cfg_r, img, labels, train=True, rng=key)[1])
+    assert l0 == pytest.approx(l1, rel=1e-6)
