@@ -84,10 +84,16 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
         create_sampler_weights(train_df, cur_config.target),
         num_samples=len(train_df), seed=seed)
 
+    # disk cache: decode each volume once per cohort instead of once per
+    # epoch×run; scales past RAM unlike the in-memory cache (501 subjects
+    # × modalities ≈ 6 GB decoded)
+    vol_cache = str(out / "vol_cache")
     train_ds = BrainDataset(train_df, cur_config, types=params.img_types,
-                            is_train=True, folder=folder)
+                            is_train=True, folder=folder, cache=False,
+                            disk_cache=vol_cache)
     val_ds = BrainDataset(val_df, cur_config, types=params.img_types,
-                          is_train=False, folder=folder)
+                          is_train=False, folder=folder, cache=False,
+                          disk_cache=vol_cache)
     train_loader = PrefetchLoader(train_ds, batch_size=batch_size, num_workers=5)
     val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5)
 
