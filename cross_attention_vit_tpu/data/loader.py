@@ -65,6 +65,17 @@ class PrefetchLoader:
             labels = np.asarray([it[1] for it in items], dtype=np.int32)
             return imgs, labels
 
+        def safe_put(item) -> bool:
+            """put() that gives up when the consumer abandoned iteration —
+            otherwise a full queue would block this thread forever."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for b in batches:
@@ -77,11 +88,12 @@ class PrefetchLoader:
                     else:
                         imgs = jax.device_put(imgs)
                         labels = jax.device_put(labels)
-                    q.put((imgs, labels))
+                    if not safe_put((imgs, labels)):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                safe_put(e)
             finally:
-                q.put(None)
+                safe_put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -241,3 +241,29 @@ def test_disk_cache(tmp_path):
     img2, _ = ds2[0]
     np.testing.assert_array_equal(img1, img2)
     assert not list((tmp_path / "dc").glob("*.tmp.npy"))
+
+
+def test_loader_consumer_abandons_iteration():
+    """Breaking out of the batch iterator must not leave the producer thread
+    blocked on a full queue."""
+    import threading
+    import time as _time
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+
+    class Slow:
+        def __len__(self):
+            return 64
+
+        def batch(self, idx):
+            return (np.zeros((len(idx), 1, 1, 4, 4, 4), np.float32),
+                    np.zeros((len(idx),), np.int32))
+
+    loader = PrefetchLoader(Slow(), batch_size=2, prefetch=1)
+    before = threading.active_count()
+    it = loader(range(64))
+    next(it)
+    it.close()  # abandon; generator finally sets stop
+    deadline = _time.time() + 5
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # producer exited
