@@ -99,7 +99,7 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
-                      seed=seed)
+                      seed=seed, latest_every=5)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history

@@ -327,13 +327,19 @@ class Trainer:
 
             if self.plateau is not None:
                 self.plateau.step(row["val_loss"])
-            if self.checkpoint is not None:
-                self.checkpoint.save(epoch, row[self.checkpoint_monitor],
-                                     self._ckpt_state(epoch))
-            if self.latest is not None and (
-                    epoch % self.latest_every == self.latest_every - 1
-                    or epoch == self.max_epochs - 1):
-                self.latest.save(self.global_step, self._ckpt_state(epoch))
+            want_latest = self.latest is not None and (
+                epoch % self.latest_every == self.latest_every - 1
+                or epoch == self.max_epochs - 1)
+            if self.checkpoint is not None or want_latest:
+                # fetch the state to host ONCE per epoch — a full-size
+                # device_get is ~3 GB over the host link, and both managers
+                # save the same snapshot
+                host_state = jax.device_get(self._ckpt_state(epoch))
+                if self.checkpoint is not None:
+                    self.checkpoint.save(epoch, row[self.checkpoint_monitor],
+                                         host_state)
+                if want_latest:
+                    self.latest.save(self.global_step, host_state)
             if verbose:
                 print(f"epoch {epoch:3d}  lr {lr:.2e}  "
                       f"train_loss {row['train_loss']:.4f}  "
