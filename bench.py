@@ -10,6 +10,12 @@ CPU-reference throughput is the driver-specified denominator).  The CPU
 measurement is cached in bench_cpu_baseline.json because it is slow and
 stable.
 
+Extras separate chip utilization from the host bottleneck (VERDICT r1 #2):
+  device_fwd_ms   jitted bf16 forward, batch on device, no host in the loop
+  train_step_ms   full train step: device aug + fwd + bwd + Adam, batch 8
+  mfu             train-step model FLOPs / time / chip bf16 peak
+  mfu_fwd         same for the forward
+
 Prints ONE JSON line:
   {"metric": ..., "value": vol/s, "unit": ..., "vs_baseline": ratio, ...extras}
 """
@@ -105,6 +111,78 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
     return vols_per_sec, float(np.percentile(lat, 50))
 
 
+def bench_device(cfg, df) -> dict:
+    """Device-only accounting on the real chip: forward latency, full
+    train-step latency (device augmentation + fwd + bwd + Adam on bf16
+    compute), and MFU for each.  Host decode is excluded — the batch lives
+    in HBM before the clock starts.
+
+    Timing discipline for the axon relay (CLAUDE.md): dispatch a window of
+    steps and block once on the last output; per-call block_until_ready acks
+    early under queue pressure."""
+    import jax
+    import jax.numpy as jnp
+
+    from cross_attention_vit_tpu.data.dataset import BrainDataset
+    from cross_attention_vit_tpu.models import model_cross
+    from cross_attention_vit_tpu.train import optim
+    from cross_attention_vit_tpu.train.trainer import make_train_step
+    from cross_attention_vit_tpu.utils import flops as F
+
+    cfg.compute_dtype = "bfloat16"
+    cfg.use_flash_attention = True
+    assert cfg.img_aug  # the live training config augments (main_mist.py:71)
+
+    ds = BrainDataset(df, cfg, types=MODALITIES, is_train=False, folder=UCSF,
+                      cache=True)
+    items = [ds[i] for i in range(6)]
+    imgs6 = np.stack([it[0] for it in items])
+    labels6 = np.asarray([it[1] for it in items], np.int32)
+    # batch 8 (the reference's per-rank batch, main_mist.py:206): tile the
+    # 6-subject cohort
+    imgs8 = jax.device_put(np.concatenate([imgs6, imgs6[:2]]))
+    labels8 = jax.device_put(np.concatenate([labels6, labels6[:2]]))
+
+    params = model_cross.init(jax.random.key(0), cfg)
+
+    # --- forward ------------------------------------------------------------
+    fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
+    jax.block_until_ready(fwd(params, imgs8))  # compile
+    reps = 30
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fwd(params, imgs8)
+    jax.block_until_ready(out)
+    fwd_s = (time.perf_counter() - t0) / reps
+
+    # --- train step ----------------------------------------------------------
+    step = make_train_step(model_cross.apply, cfg)
+    opt_state = optim.init(params)
+    lr = jnp.asarray(1e-4, jnp.float32)
+    params_t, opt_t = params, opt_state
+    params_t, opt_t, aux = step(params_t, opt_t, imgs8, labels8, lr,
+                                jax.random.key(1))  # compile
+    jax.block_until_ready(aux["loss"])
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params_t, opt_t, aux = step(params_t, opt_t, imgs8, labels8, lr,
+                                    jax.random.fold_in(jax.random.key(1), i))
+    jax.block_until_ready(aux["loss"])
+    train_s = (time.perf_counter() - t0) / reps
+
+    fwd_flops = F.model_cross_fwd_flops(cfg, 8)
+    return {
+        "device_fwd_ms": round(fwd_s * 1000, 2),
+        "train_step_ms": round(train_s * 1000, 2),
+        "mfu": round(F.mfu(F.train_flops(fwd_flops), train_s), 4),
+        "mfu_fwd": round(F.mfu(fwd_flops, fwd_s), 4),
+        "device_kind": jax.devices()[0].device_kind,
+        "model_tflops_fwd_b8": round(fwd_flops / 1e12, 2),
+    }
+
+
 def bench_cpu_reference(cfg, df) -> float:
     """PyTorch reference-model forward throughput on this host's CPU
     (volumes/sec, batch 1, eval mode, float32).  Cached across runs."""
@@ -148,9 +226,13 @@ def bench_cpu_reference(cfg, df) -> float:
 
 
 def main():
+    from cross_attention_vit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache(str(Path(__file__).parent / ".bench_jit_cache"))
     cfg = _live_cfg()
     df = _cohort()
     vps, p50 = bench_tpu(cfg, df)
+    device = bench_device(_live_cfg(), df)
     cpu_vps = bench_cpu_reference(cfg, df)
     print(json.dumps({
         "metric": "e2e_volumes_per_sec_per_chip",
@@ -160,6 +242,7 @@ def main():
         "p50_latency_ms": round(p50, 1),
         "cpu_reference_volumes_per_sec": round(cpu_vps, 4),
         "config": "ModelCross 3-stream live grid, bf16, batch 6",
+        **device,
     }))
 
 

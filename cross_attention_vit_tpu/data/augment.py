@@ -61,10 +61,19 @@ class AugmentConfig:
     zoom_high: float = 1.1
 
 
-def _maybe(key, prob, fn, vol):
-    """Apply fn with probability prob (both branches traced; select)."""
+def _maybe(key, prob, fn, vol, use_cond: bool = False):
+    """Apply fn with probability prob.
+
+    use_cond=False: both branches traced and executed, jnp.where selects —
+    the right shape under vmap (where cond lowers to select anyway).
+    use_cond=True: real lax.cond branch — under lax.map (scan) the untaken
+    branch is NOT executed, so a p=0.2 transform costs its expected value
+    instead of 1× per volume.  Identical randomness either way (same key
+    splits), so both modes produce the same augmented batch."""
     k_apply, k_fn = jax.random.split(key)
     applied = jax.random.bernoulli(k_apply, prob)
+    if use_cond:
+        return jax.lax.cond(applied, lambda: fn(k_fn, vol), lambda: vol)
     return jnp.where(applied, fn(k_fn, vol), vol)
 
 
@@ -249,7 +258,8 @@ def _coarse_shuffle(cfg: AugmentConfig):
 # --- pipeline ------------------------------------------------------------------
 
 def augment_volume(key: jax.Array, vol: jax.Array,
-                   cfg: AugmentConfig = AugmentConfig()) -> jax.Array:
+                   cfg: AugmentConfig = AugmentConfig(),
+                   use_cond: bool = False) -> jax.Array:
     """Apply the 9-transform pipeline to one (D, H, W) volume."""
     if cfg.rot90_prob > 0 and vol.shape[0] != vol.shape[1]:
         raise ValueError("RandRotate90 on axes (0,1) needs D == H "
@@ -268,17 +278,34 @@ def augment_volume(key: jax.Array, vol: jax.Array,
     keys = jax.random.split(key, len(steps))
     for k, (prob, fn) in zip(keys, steps):
         if prob > 0:
-            vol = _maybe(k, prob, fn, vol)
+            vol = _maybe(k, prob, fn, vol, use_cond=use_cond)
     return vol
 
 
 def augment_batch(key: jax.Array, imgs: jax.Array,
-                  cfg: AugmentConfig = AugmentConfig()) -> jax.Array:
+                  cfg: AugmentConfig = AugmentConfig(),
+                  mode: str = "vmap") -> jax.Array:
     """Augment a (B, M, C, D, H, W) batch; independent randomness per
     (batch, modality) volume, matching the reference's per-modality
-    transform calls."""
+    transform calls (dataset_ucsf.py:150-155).
+
+    mode='vmap': one fused SIMD program over all volumes; every transform
+    executes for every volume and jnp.where selects — maximal parallelism,
+    5× the expected-value FLOPs for the p=0.2 transforms.
+    mode='scan': lax.map over volumes with REAL lax.cond branches — each
+    expensive transform (affine resample, separable smooth, zoom) runs only
+    for the ~p fraction of volumes that drew it.  Same keys → same
+    randomness; outputs match 'vmap' to float tolerance (XLA fuses the two
+    lowerings differently).  'vmap' stays the default; 'scan' is the knob if
+    augmentation ever dominates the step (cost comparison measured in
+    benchmarks/; see docs/RUN_r02.md)."""
     B, M, C, D, H, W = imgs.shape
     flat = imgs.reshape(B * M * C, D, H, W)
     keys = jax.random.split(key, flat.shape[0])
-    out = jax.vmap(lambda k, v: augment_volume(k, v, cfg))(keys, flat)
+    if mode == "scan":
+        out = jax.lax.map(
+            lambda kv: augment_volume(kv[0], kv[1], cfg, use_cond=True),
+            (keys, flat))
+    else:
+        out = jax.vmap(lambda k, v: augment_volume(k, v, cfg))(keys, flat)
     return out.reshape(imgs.shape)

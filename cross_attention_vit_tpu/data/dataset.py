@@ -15,6 +15,7 @@ gunzip work across epochs — the reference re-decodes every epoch.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Sequence
@@ -81,9 +82,24 @@ class BrainDataset:
             else:
                 vol = read_volume_cropped(path, self.img_size, fill=-1.0)[None]
             if disk_path is not None:
-                tmp = disk_path.with_suffix(".tmp.npy")
-                np.save(tmp, vol[0])
-                tmp.replace(disk_path)  # atomic vs concurrent readers
+                # unique temp name: replacement sampling duplicates indices, so
+                # two loader threads can race the first-touch write of the same
+                # (case, modality) — each writes its own temp then renames;
+                # the loser's rename just overwrites identical bytes
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(suffix=".tmp.npy",
+                                           dir=str(disk_path.parent))
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        np.save(f, vol[0])
+                    os.replace(tmp, disk_path)  # atomic vs concurrent readers
+                except BaseException:
+                    try:
+                        os.unlink(tmp)
+                    except FileNotFoundError:
+                        pass
+                    raise
         if self._cache is not None:
             self._cache[key] = vol
         return vol  # (1, D, H, W)
@@ -148,6 +164,13 @@ class WeightedRandomSampler:
         self.num_samples = num_samples
         self.seed = seed
 
-    def epoch_indices(self, epoch: int, host_id: int = 0) -> np.ndarray:
+    def epoch_indices(self, epoch: int, host_id: int = 0,
+                      num_hosts: int = 1) -> np.ndarray:
+        """One epoch's index draw.  Multi-host: each host draws its OWN
+        num_samples/num_hosts indices with a (seed, epoch, host_id) stream —
+        independent per-host draws over the full cohort, so the global epoch
+        still visits num_samples weighted samples with no cross-host
+        duplication *by construction* (each draw is i.i.d.)."""
         rng = np.random.default_rng((self.seed, epoch, host_id))
-        return rng.choice(len(self.p), size=self.num_samples, replace=True, p=self.p)
+        n = self.num_samples // num_hosts if num_hosts > 1 else self.num_samples
+        return rng.choice(len(self.p), size=max(n, 1), replace=True, p=self.p)

@@ -10,9 +10,15 @@ dataset.py:35,43):
   * "biggest slice" selection: the slice whose cropped brain area is maximal,
     computed once per case and cached to disk (dataset.py:122-152 — joblib
     pickle there, JSON here);
-  * a window of `num_imgs` slices centered on the biggest slice; each slice:
-    VOI-LUT windowing → bbox crop → resize to (size, size) → per-slice 0-1
-    normalization; depth zero-padded to `num_imgs` (dataset.py:156-216).
+  * a window of at most `num_imgs` slices centered on the biggest slice
+    (train) or the middle slice (eval), bounded at [middle − num_imgs//2,
+    middle + num_imgs//2) like the reference (dataset.py:178-181); each
+    slice: VOI-LUT windowing → resize to (size, size) → min-shift then
+    max-divide normalization (dataset.py:212-215 — NOT a bare /max: the
+    shift keeps signed VOI-LUT outputs in [0,1]); depth zero-padded to
+    `num_imgs` (dataset.py:183-190).  The bbox crop is used ONLY for
+    biggest-slice selection (extract_cropped_image_size), never applied to
+    the loaded slice itself.
 
 Resize uses OpenCV bilinear like the reference when cv2 is importable, else
 jax.image on host numpy.
@@ -79,13 +85,16 @@ class RSNADataset:
 
     def __init__(self, data, mri_type: str = "FLAIR", folder: str = "rsna-data",
                  num_imgs: int = 32, size: int = 256, target: str = "MGMT_value",
-                 cache_file: str | None = None):
+                 cache_file: str | None = None, is_train: bool = True):
         self.data = data.reset_index(drop=True)
         self.mri_type = mri_type
         self.folder = Path(folder)
         self.num_imgs = num_imgs
         self.size = size
         self.target = target
+        # eval centers the window on the middle slice instead of the biggest
+        # (reference dataset.py:173-176)
+        self.is_train = is_train
         self.cache_path = Path(cache_file) if cache_file else \
             self.folder / f"biggest_{mri_type}.json"
         self._biggest: dict[str, int] | None = None
@@ -96,6 +105,20 @@ class RSNADataset:
     def _slices(self, case_id: str) -> list[Path]:
         return natural_sort(list(self._case_dir(case_id).glob("*.dcm")))
 
+    def _scan_biggest(self, case_id: str) -> int:
+        """Index of the slice with maximal cropped brain area; falls back to
+        the middle slice when every area is 0 (reference dataset.py:144-148)."""
+        areas = []
+        for p in self._slices(case_id):
+            d = read_dicom(p)
+            areas.append(cropped_area(d.pixel_array.astype(np.float32)))
+        if not areas:
+            raise FileNotFoundError(f"no DICOM slices for case {case_id} "
+                                    f"under {self._case_dir(case_id)}")
+        if not any(areas):
+            return len(areas) // 2
+        return int(np.argmax(areas))
+
     def prepare_biggest_images(self) -> dict[str, int]:
         """Per case, index of the slice with maximal cropped brain area;
         cached to JSON (dataset.py:122-152)."""
@@ -104,16 +127,8 @@ class RSNADataset:
         if self.cache_path.exists():
             self._biggest = json.loads(self.cache_path.read_text())
             return self._biggest
-        biggest: dict[str, int] = {}
-        for case_id in self.data["ID"].astype(str):
-            areas = []
-            for p in self._slices(case_id):
-                d = read_dicom(p)
-                areas.append(cropped_area(d.pixel_array.astype(np.float32)))
-            if not areas:
-                raise FileNotFoundError(f"no DICOM slices for case {case_id} "
-                                        f"under {self._case_dir(case_id)}")
-            biggest[case_id] = int(np.argmax(areas))
+        biggest = {case_id: self._scan_biggest(case_id)
+                   for case_id in self.data["ID"].astype(str)}
         try:
             self.cache_path.parent.mkdir(parents=True, exist_ok=True)
             self.cache_path.write_text(json.dumps(biggest))
@@ -128,14 +143,7 @@ class RSNADataset:
         different split) is scanned and appended on demand."""
         biggest = self.prepare_biggest_images()
         if case_id not in biggest:
-            areas = []
-            for p in self._slices(case_id):
-                d = read_dicom(p)
-                areas.append(cropped_area(d.pixel_array.astype(np.float32)))
-            if not areas:
-                raise FileNotFoundError(f"no DICOM slices for case {case_id} "
-                                        f"under {self._case_dir(case_id)}")
-            biggest[case_id] = int(np.argmax(areas))
+            biggest[case_id] = self._scan_biggest(case_id)
             try:
                 self.cache_path.write_text(json.dumps(biggest))
             except OSError:
@@ -143,21 +151,30 @@ class RSNADataset:
         return biggest[case_id]
 
     def load_volume(self, case_id: str) -> np.ndarray:
-        biggest = self._biggest_for(str(case_id))
         paths = self._slices(str(case_id))
+        if self.is_train:
+            middle = self._biggest_for(str(case_id))
+        else:
+            middle = len(paths) // 2
         half = self.num_imgs // 2
-        lo = max(0, biggest - half)
-        window = paths[lo:lo + self.num_imgs]
+        # window bounded at BOTH ends like the reference (dataset.py:178-181):
+        # a biggest-slice near the start/end yields FEWER than num_imgs slices
+        # (zero-padded below), not a window extended to full length
+        lo = max(0, middle - half)
+        hi = min(len(paths), middle + half)
+        window = paths[lo:hi]
 
         imgs = []
         for p in window:
             d = read_dicom(p)
             arr = apply_voi_lut(d.pixel_array, d).astype(np.float32)
-            arr = crop_img(arr)
             arr = _resize(arr, self.size)
+            # min-shift then max-divide (dataset.py:212-215): signed VOI-LUT
+            # outputs land in [0,1]; a bare /max would flip sign/scale
+            arr = arr - arr.min()
             m = arr.max()
             if m > 0:
-                arr = arr / m          # per-slice 0-1 normalize (dataset.py:208)
+                arr = arr / m
             imgs.append(arr)
         vol = np.stack(imgs) if imgs else np.zeros((0, self.size, self.size),
                                                    np.float32)

@@ -51,6 +51,7 @@ class DicomImage:
     rows: int = 0
     cols: int = 0
     bits_allocated: int = 16
+    bits_stored: int = 16
     pixel_representation: int = 0     # 0 unsigned, 1 signed
     rescale_slope: float = 1.0
     rescale_intercept: float = 0.0
@@ -137,8 +138,7 @@ def read_dicom(path: str | Path) -> DicomImage:
                       "pixel_representation"):
             v = (struct.unpack("<H", raw[:2])[0] if vr in (b"US", b"UN")
                  else int(_decode_value(vr, raw)))
-            if name != "bits_stored":
-                setattr(img, name, v)
+            setattr(img, name, v)
         elif name in ("rescale_slope", "rescale_intercept", "window_center",
                       "window_width"):
             txt = raw.decode("ascii", "ignore").strip("\x00 ")
@@ -161,11 +161,13 @@ def apply_voi_lut(arr: np.ndarray, img: DicomImage) -> np.ndarray:
         return arr
     c, w = float(img.window_center), float(img.window_width)
     arr_f = arr.astype(np.float64)
+    # output range spans BitsStored (pydicom apply_voi_lut uses BitsStored,
+    # not BitsAllocated, to size the representable range)
     if img.pixel_representation:
-        y_min, y_max = (-(2 ** (img.bits_allocated - 1)),
-                        2 ** (img.bits_allocated - 1) - 1)
+        y_min, y_max = (-(2 ** (img.bits_stored - 1)),
+                        2 ** (img.bits_stored - 1) - 1)
     else:
-        y_min, y_max = 0, 2 ** img.bits_allocated - 1
+        y_min, y_max = 0, 2 ** img.bits_stored - 1
     below = arr_f <= c - 0.5 - (w - 1) / 2
     above = arr_f > c - 0.5 + (w - 1) / 2
     out = ((arr_f - (c - 0.5)) / (w - 1) + 0.5) * (y_max - y_min) + y_min

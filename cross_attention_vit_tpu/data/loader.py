@@ -43,7 +43,30 @@ class PrefetchLoader:
         rem = idx[n_full * self.batch_size:]
         if len(rem) and not self.drop_last:
             batches.append(rem)
+        # a batch sharded over the mesh 'data' axis must divide it: pad short
+        # batches by wrap-around — the torch DistributedSampler convention
+        # (duplicated samples slightly overweight the partial batch in epoch
+        # metrics, exactly as the reference's Lightning-DDP eval does)
+        div = self._batch_divisor()
+        if div > 1:
+            batches = [np.resize(b, -(-len(b) // div) * div)
+                       if len(b) % div else b for b in batches]
         return batches
+
+    def _batch_divisor(self) -> int:
+        """Per-process batch-size divisor implied by the sharding: the number
+        of data-axis shards this process feeds."""
+        from jax.sharding import NamedSharding
+
+        s = self.sharding
+        if not isinstance(s, NamedSharding) or not len(s.spec) or not s.spec[0]:
+            return 1
+        axes = s.spec[0]
+        names = (axes,) if isinstance(axes, str) else tuple(axes)
+        total = 1
+        for n in names:
+            total *= s.mesh.shape[n]
+        return max(1, total // jax.process_count())
 
     def __call__(self, indices: Sequence[int]) -> Iterator[tuple[jax.Array, jax.Array]]:
         batches = self._batches(indices)

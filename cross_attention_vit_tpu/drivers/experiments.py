@@ -69,7 +69,8 @@ def filter_available(data, folder) -> "object":
 
 
 def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
-             out_dir, run_name, max_epochs, batch_size, seed, verbose):
+             out_dir, run_name, max_epochs, batch_size, seed, verbose,
+             mesh=None):
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
@@ -99,7 +100,7 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
-                      seed=seed, latest_every=5)
+                      seed=seed, latest_every=5, mesh=mesh)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history
@@ -108,8 +109,14 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
                max_epochs=250, batch_size=8, verbose=True, overrides=None,
-               only_available=False):
-    """The live driver (reference main_mist.py:156-219)."""
+               only_available=False, mesh=None):
+    """The live driver (reference main_mist.py:156-219).
+
+    mesh: a parallel.make_mesh ('data','model') Mesh — the replacement for
+    the reference's `Trainer(devices=4, num_nodes=2)` (main_mist.py:216-217).
+    batch_size is per process: the global batch under a single-process mesh;
+    under multi-host the global batch is batch_size × process_count (the
+    reference's 8/rank × 8 ranks semantics)."""
     from sklearn.model_selection import train_test_split
 
     params_big = params_big or [params_list1, params_list2]
@@ -138,7 +145,7 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                     model_module, cur_config, params, train_df, val_df,
                     folder=folder, out_dir=out_dir, run_name=run_name,
                     max_epochs=max_epochs, batch_size=batch_size, seed=seed,
-                    verbose=verbose)
+                    verbose=verbose, mesh=mesh)
                 results[run_name] = history
     return results
 
@@ -146,7 +153,7 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
 def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
              out_dir="runs", run=145, test_seed=6969, cv_seeds=(6253, 9253),
              k: int = 5, max_epochs=250, batch_size=8, verbose=True,
-             overrides=None, only_available=False):
+             overrides=None, only_available=False, mesh=None):
     """Stratified k-fold variant (reference main_mist.py:84-149, repaired)."""
     from sklearn.model_selection import StratifiedKFold, train_test_split
 
@@ -178,7 +185,7 @@ def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                         data.iloc[train_idx], data.iloc[val_idx],
                         folder=folder, out_dir=out_dir, run_name=run_name,
                         max_epochs=max_epochs, batch_size=batch_size,
-                        seed=cv_seed, verbose=verbose)
+                        seed=cv_seed, verbose=verbose, mesh=mesh)
                     results[run_name] = history
     return results
 
@@ -200,7 +207,37 @@ def main(argv=None):
     p.add_argument("--model", choices=["cross", "vit", "both"], default="both")
     p.add_argument("--only-available", action="store_true",
                    help="drop labels rows whose volumes are not on disk")
+    # distribution — the reference's `devices=4, num_nodes=2`
+    # (main_mist.py:216-217) as mesh axes + multi-host runtime init
+    p.add_argument("--dp", type=int, default=-1,
+                   help="data-parallel mesh axis; -1 = all remaining devices "
+                        "(default), 0 = no mesh (single device, unsharded)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh axis (must divide num_heads)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host coordinator address host:port "
+                        "(auto-detected on Cloud TPU)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--no-compile-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     args = p.parse_args(argv)
+
+    if args.coordinator or args.num_processes:
+        from ..parallel import multihost_init
+
+        multihost_init(args.coordinator, args.num_processes, args.process_id)
+
+    if not args.no_compile_cache:
+        from ..utils import enable_compilation_cache
+
+        enable_compilation_cache(str(Path(args.out) / "jit_cache"))
+
+    mesh = None
+    if args.dp != 0:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(args.dp, args.tp)
 
     grids = [list(params_list1), list(params_list2)]
     if args.grid_index is not None:
@@ -211,7 +248,7 @@ def main(argv=None):
 
     kwargs = dict(labels_csv=args.labels, folder=args.data, out_dir=args.out,
                   max_epochs=args.epochs, batch_size=args.batch_size,
-                  only_available=args.only_available)
+                  only_available=args.only_available, mesh=mesh)
     if args.mode == "full":
         if args.seeds:
             kwargs["test_seeds"] = tuple(args.seeds)

@@ -2,20 +2,32 @@
 
 Replaces the naive XLA path's HBM round-trip of the (B, K, N, N) attention
 matrix (at the live geometry — N=513, 16 heads, batch 8 — that tensor is
-134 MB in f32 per forward) with one kernel per (batch, head) that keeps
-QKᵀ, the f32 softmax, and AV entirely in VMEM:
+134 MB in f32 per forward) with fused kernels that keep QKᵀ, the f32
+softmax, and AV in VMEM.
 
-    per program: q,k,v (N̂, 64) → dots (N̂, N̂) f32 → softmax → out (N̂, 64)
+Two regimes, switched on sequence length:
 
-N̂ is N padded to the f32 sublane multiple (8); padded key columns are masked
-to −inf before the softmax so results are exact.  VMEM footprint at N=513:
-3·(520·64·4) + 520²·4 ≈ 1.5 MB — far under the ~16 MB budget, so no online
-(streaming) softmax is needed at these sequence lengths; the kernel stays a
-single fused block, which is the fastest shape for short sequences.
+  * N ≤ 1024 — single-block kernel, one program per (batch, head): the whole
+    (N̂, N̂) score matrix fits VMEM (≤ 4 MB f32), which is the fastest shape
+    for short sequences (the live models' N = 513).
+  * N > 1024 — **streaming online-softmax kernel**: the grid gains a KV axis
+    and Mosaic pipelines (block_q, block_kv) tiles HBM→VMEM while running
+    (max, sum, acc) scratch carries the softmax state across KV steps.  VMEM
+    holds only one (BQ, D) query tile, one (BKV, D) KV tile pair and the
+    (BQ, BKV) partial scores — sequence length is bounded by HBM.  The
+    forward also emits the per-row logsumexp, which the **blocked backward**
+    (two accumulator kernels: dK/dV over a Q-streaming grid, dQ over a
+    KV-streaming grid) consumes, so long-sequence training never
+    materializes N² either.  This is the growth path SURVEY.md §5 asks for
+    (longer sequences at smaller patch sizes) without a ring/Ulysses layer.
 
-Backward: custom VJP recomputes attention via the XLA formulation (the
-standard recompute trade — saves the N² tensor at the cost of one extra
-forward matmul pair).  A Pallas backward is a follow-up optimization.
+N̂ is N padded (sublane multiple 8 short, block multiple long); padded key
+columns are masked to −inf before the softmax so results are exact.
+
+Short-sequence backward: custom VJP recomputes attention via the XLA
+formulation — measured on v5e at the live geometry (2,16,513,64): Pallas
+1.88 ms vs XLA's fused recompute 1.66 ms, so XLA stays the default there;
+the single-block Pallas backward is kept (tested) behind USE_PALLAS_BACKWARD.
 
 Semantics match ops.attention._sdpa exactly (no dropout inside — the live
 self-attention applies no attention-prob dropout, reference model_cross.py:57).
@@ -35,6 +47,16 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _interpret() -> bool:
+    # interpret mode lets the sharding/unit tests exercise the kernels on the
+    # CPU backend (Mosaic only compiles for real TPUs)
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     """Single-block path: the whole (N̂, N̂) score matrix fits VMEM — fastest
     shape for the live geometry (N ≈ 513)."""
@@ -53,40 +75,47 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _attn_kernel_blocked(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                         n_valid: int, block_kv: int):
-    """Online-softmax path for long sequences: one q block per program,
-    streaming over KV chunks with running (max, sum, acc) — VMEM holds only
-    (BQ, block_kv) scores at a time, so sequence length is bounded by HBM,
-    not by the N² score matrix.  This is the growth path SURVEY.md §5 asks
-    for (longer sequences at smaller patch sizes) without a ring/Ulysses
-    layer."""
-    q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D̂)
-    bq, d = q.shape
-    n_pad = k_ref.shape[2]
-    num_kv = n_pad // block_kv
+def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                        m_ref, l_ref, acc_ref, *,
+                        scale: float, n_valid: int, block_kv: int):
+    """Streaming online-softmax: grid (B, K, n_q, n_kv) with the KV axis
+    innermost ('arbitrary' — it carries state); (m, l, acc) scratch persists
+    across KV steps of one query tile.  Only (BQ, D) + 2·(BKV, D) operand
+    tiles and the (BQ, BKV) partial scores are live in VMEM."""
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
 
-    def body(i, carry):
-        m, l, acc = carry
-        kb = k_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
-        vb = v_ref[0, 0, pl.ds(i * block_kv, block_kv)].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (BQ, block_kv)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * block_kv
-        s = jnp.where(col < n_valid, s, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, vb, preferred_element_type=jnp.float32)
-        return m_new, l, acc
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full(m_ref.shape, -jnp.inf, jnp.float32)
+        l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
+        acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    init = (jnp.full((bq, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((bq, 1), jnp.float32),
-            jnp.zeros((bq, d), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, num_kv, body, init)
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    q = q_ref[0, 0].astype(jnp.float32)   # (BQ, D̂)
+    kb = k_ref[0, 0].astype(jnp.float32)  # (BKV, D̂)
+    vb = v_ref[0, 0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # (BQ, BKV)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+
+    m_prev = m_ref[...][:, :1]            # (BQ, 1)
+    l_prev = l_ref[...][:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, vb, preferred_element_type=jnp.float32)
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_kv - 1)
+    def _done():
+        l = l_ref[...][:, :1]
+        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
 # above this sequence length, switch from the single-block kernel to the
@@ -94,10 +123,11 @@ def _attn_kernel_blocked(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 _SINGLE_BLOCK_MAX = 1024
 _BLOCK_Q = 512
 _BLOCK_KV = 512
+_LANES = 128  # f32 lane width: lse/delta rows are lane-broadcast
 
 
-def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
-                   scale: float) -> jax.Array:
+def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                   with_lse: bool = False):
     B, K, N, D = q.shape
     d_pad = _round_up(D, 128)
     single = N <= _SINGLE_BLOCK_MAX
@@ -106,11 +136,8 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
 
-    # interpret mode lets the sharding/unit tests exercise the kernel on the
-    # CPU backend (Mosaic only compiles for real TPUs)
-    interpret = jax.default_backend() != "tpu"
-
     if single:
+        assert not with_lse, "lse is only emitted by the streaming kernel"
         grid = (B, K)
         spec = pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -126,34 +153,49 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
                 flops=2 * B * K * (n_pad * n_pad * d_pad * 2),
                 bytes_accessed=4 * B * K * n_pad * d_pad * 4,
                 transcendentals=B * K * n_pad * n_pad),
-            interpret=interpret,
+            interpret=_interpret(),
         )(q, k, v)
         return out[:, :, :N, :D]
 
-    grid = (B, K, n_pad // _BLOCK_Q)
+    grid = (B, K, n_pad // _BLOCK_Q, n_pad // _BLOCK_KV)
     q_spec = pl.BlockSpec((1, 1, _BLOCK_Q, d_pad),
-                          lambda b, h, i: (b, h, i, 0),
+                          lambda b, h, i, j: (b, h, i, 0),
                           memory_space=pltpu.VMEM)
-    kv_spec = pl.BlockSpec((1, 1, n_pad, d_pad),
-                           lambda b, h, i: (b, h, 0, 0),
+    kv_spec = pl.BlockSpec((1, 1, _BLOCK_KV, d_pad),
+                           lambda b, h, i, j: (b, h, j, 0),
                            memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_attn_kernel_blocked, scale=scale, n_valid=N,
+    lse_spec = pl.BlockSpec((1, 1, _BLOCK_Q, _LANES),
+                            lambda b, h, i, j: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    out, lse = pl.pallas_call(
+        partial(_attn_kernel_stream, scale=scale, n_valid=N,
                 block_kv=_BLOCK_KV),
         grid=grid,
         in_specs=[q_spec, kv_spec, kv_spec],
-        out_specs=q_spec,
-        out_shape=jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype),
+        out_specs=(q_spec, lse_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype),
+                   jax.ShapeDtypeStruct((B, K, n_pad, _LANES), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((_BLOCK_Q, _LANES), jnp.float32),
+                        pltpu.VMEM((_BLOCK_Q, _LANES), jnp.float32),
+                        pltpu.VMEM((_BLOCK_Q, d_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * K * (n_pad * n_pad * d_pad * 2),
             bytes_accessed=4 * B * K * n_pad * d_pad * 4,
             transcendentals=B * K * n_pad * n_pad),
-        interpret=interpret,
+        interpret=_interpret(),
     )(q, k, v)
-    return out[:, :, :N, :D]
+    out = out[:, :, :N, :D]
+    if with_lse:
+        return out, lse[:, :, :N, 0]
+    return out
 
+
+# ---------------------------------------------------------------------------
+# backward — single-block (short N; kept behind USE_PALLAS_BACKWARD)
+# ---------------------------------------------------------------------------
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
                      scale: float, n_valid: int):
@@ -218,10 +260,178 @@ def _flash_backward_pallas(q, k, v, do, scale):
             flops=5 * 2 * B * K * n_pad * n_pad * d_pad,
             bytes_accessed=7 * B * K * n_pad * d_pad * 4,
             transcendentals=B * K * n_pad * n_pad),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(q, k, v, do)
     return (dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D])
 
+
+# ---------------------------------------------------------------------------
+# backward — blocked (long N): dK/dV stream over Q, dQ streams over KV
+# ---------------------------------------------------------------------------
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *,
+                    scale: float, n_valid: int, block_kv: int):
+    """Grid (B, K, n_kv, n_q): for one KV tile, accumulate dK/dV over all Q
+    tiles.  P is recomputed per tile from the saved logsumexp — padded-Q rows
+    contribute nothing because their dO rows are zero."""
+    i = pl.program_id(3)
+    n_q = pl.num_programs(3)
+    jkv = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros(dk_acc.shape, jnp.float32)
+        dv_acc[...] = jnp.zeros(dv_acc.shape, jnp.float32)
+
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)            # (BQ, D̂)
+    kb = k_ref[0, 0].astype(f32)           # (BKV, D̂)
+    vb = v_ref[0, 0].astype(f32)
+    do = do_ref[0, 0].astype(f32)
+    lse = lse_ref[0, 0][:, :1]             # (BQ, 1)
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32) * scale  # (BQ, BKV)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jkv * block_kv
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    p = jnp.exp(s - lse)                   # exact softmax rows via saved lse
+
+    dv_acc[...] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)        # Pᵀ dO
+    dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    ds = p * (dp - delta) * scale
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32)        # dsᵀ q
+
+    @pl.when(i == n_q - 1)
+    def _done():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *,
+                   scale: float, n_valid: int, block_kv: int):
+    """Grid (B, K, n_q, n_kv): for one Q tile, accumulate dQ over KV tiles."""
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros(dq_acc.shape, jnp.float32)
+
+    f32 = jnp.float32
+    q = q_ref[0, 0].astype(f32)
+    kb = k_ref[0, 0].astype(f32)
+    vb = v_ref[0, 0].astype(f32)
+    do = do_ref[0, 0].astype(f32)
+    lse = lse_ref[0, 0][:, :1]
+    delta = delta_ref[0, 0][:, :1]
+
+    s = jax.lax.dot_general(q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
+    s = jnp.where(col < n_valid, s, -jnp.inf)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)
+    ds = p * (dp - delta) * scale
+    dq_acc[...] += jnp.dot(ds, kb, preferred_element_type=f32)
+
+    @pl.when(j == n_kv - 1)
+    def _done():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _flash_backward_blocked(q, k, v, o, lse, do, scale):
+    """Blocked recompute backward for long sequences: never materializes the
+    (N, N) score matrix — VMEM holds (BQ/BKV, D̂) tiles and one (BQ, BKV)
+    partial per step, so backward memory is bounded by HBM like the forward."""
+    B, K, N, D = q.shape
+    n_pad = _round_up(N, _BLOCK_Q)
+    d_pad = _round_up(D, 128)
+    if n_pad != N or d_pad != D:
+        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
+        q, k, v, o, do = (jnp.pad(t, pad) for t in (q, k, v, o, do))
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                              # (B, K, n_pad)
+    lse = jnp.pad(lse, [(0, 0), (0, 0), (0, n_pad - N)])
+    # lane-broadcast the per-row scalars so tiles stay (sublane, 128)-aligned
+    lse_b = jnp.broadcast_to(lse[..., None], (B, K, n_pad, _LANES))
+    delta_b = jnp.broadcast_to(delta[..., None], (B, K, n_pad, _LANES))
+
+    n_q, n_kv = n_pad // _BLOCK_Q, n_pad // _BLOCK_KV
+    shape = jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype)
+
+    # dK/dV: KV-major grid, Q innermost (state axis)
+    q_spec_i = pl.BlockSpec((1, 1, _BLOCK_Q, d_pad),
+                            lambda b, h, jk, i: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec_o = pl.BlockSpec((1, 1, _BLOCK_KV, d_pad),
+                             lambda b, h, jk, i: (b, h, jk, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec_i = pl.BlockSpec((1, 1, _BLOCK_Q, _LANES),
+                              lambda b, h, jk, i: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        partial(_bwd_dkv_kernel, scale=scale, n_valid=N, block_kv=_BLOCK_KV),
+        grid=(B, K, n_kv, n_q),
+        in_specs=[q_spec_i, kv_spec_o, kv_spec_o, q_spec_i, row_spec_i,
+                  row_spec_i],
+        out_specs=(kv_spec_o, kv_spec_o),
+        out_shape=(shape, shape),
+        scratch_shapes=[pltpu.VMEM((_BLOCK_KV, d_pad), jnp.float32),
+                        pltpu.VMEM((_BLOCK_KV, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * B * K * n_pad * n_pad * d_pad,
+            bytes_accessed=8 * B * K * n_pad * d_pad * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(q, k, v, do, lse_b, delta_b)
+
+    # dQ: Q-major grid, KV innermost (state axis)
+    q_spec_o = pl.BlockSpec((1, 1, _BLOCK_Q, d_pad),
+                            lambda b, h, i, j: (b, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec_i = pl.BlockSpec((1, 1, _BLOCK_KV, d_pad),
+                             lambda b, h, i, j: (b, h, j, 0),
+                             memory_space=pltpu.VMEM)
+    row_spec_o = pl.BlockSpec((1, 1, _BLOCK_Q, _LANES),
+                              lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        partial(_bwd_dq_kernel, scale=scale, n_valid=N, block_kv=_BLOCK_KV),
+        grid=(B, K, n_q, n_kv),
+        in_specs=[q_spec_o, kv_spec_i, kv_spec_i, q_spec_o, row_spec_o,
+                  row_spec_o],
+        out_specs=q_spec_o,
+        out_shape=shape,
+        scratch_shapes=[pltpu.VMEM((_BLOCK_Q, d_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * B * K * n_pad * n_pad * d_pad,
+            bytes_accessed=6 * B * K * n_pad * d_pad * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(q, k, v, do, lse_b, delta_b)
+
+    return (dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D])
+
+
+# ---------------------------------------------------------------------------
+# public op
+# ---------------------------------------------------------------------------
 
 def _reference_sdpa(q, k, v, scale):
     dots = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -239,20 +449,25 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    if q.shape[2] <= _SINGLE_BLOCK_MAX:
+        return _flash_forward(q, k, v, scale), (q, k, v, None, None)
+    out, lse = _flash_forward(q, k, v, scale, with_lse=True)
+    return out, (q, k, v, out, lse)
 
 
-# Whether to run the fused Pallas backward instead of the XLA recompute VJP.
-# Measured on v5e at the live geometry (2,16,513,64): Pallas 1.88 ms vs XLA
-# 1.66 ms — XLA's fused recompute wins at short sequences, so it stays the
-# default; the kernel is kept (tested, correct) as the basis for a blocked
-# long-sequence backward.
+# Whether to run the fused single-block Pallas backward instead of the XLA
+# recompute VJP at short sequence lengths.  Measured on v5e at the live
+# geometry (2,16,513,64): Pallas 1.88 ms vs XLA 1.66 ms — XLA's fused
+# recompute wins at short sequences, so it stays the default.  Long
+# sequences (N > _SINGLE_BLOCK_MAX) always take the blocked Pallas backward.
 USE_PALLAS_BACKWARD = False
 
 
 def _bwd(scale, residuals, g):
-    q, k, v = residuals
-    if USE_PALLAS_BACKWARD and q.shape[2] <= _SINGLE_BLOCK_MAX:
+    q, k, v, o, lse = residuals
+    if o is not None:  # long sequence: blocked backward from saved (o, lse)
+        return _flash_backward_blocked(q, k, v, o, lse, g, scale)
+    if USE_PALLAS_BACKWARD:
         return _flash_backward_pallas(q, k, v, g, scale)
     _, vjp = jax.vjp(lambda q_, k_, v_: _reference_sdpa(q_, k_, v_, scale),
                      q, k, v)

@@ -136,14 +136,29 @@ class CheckpointManager:
                               "file": fname})
         self._entries.sort(key=lambda e: e["metric"],
                            reverse=(self.mode != "min"))
+        drops = []
         while self.k > 0 and len(self._entries) > self.k:
-            drop = self._entries.pop()
-            try:
-                os.remove(self.dir / drop["file"])
-            except FileNotFoundError:
-                pass
+            drops.append(self.dir / self._entries.pop()["file"])
+        if drops:
+            if self.async_write:
+                # the writer is single-threaded, so queuing removals after the
+                # pending write jobs guarantees a dropped file is deleted only
+                # once its (possibly still-queued) write has landed — a
+                # main-thread remove would no-op on the missing file and the
+                # later rename would materialize an unpruned ~GB npz
+                _pending.append(_writer.submit(self._remove_files, drops))
+            else:
+                self._remove_files(drops)
         self._manifest_path.write_text(json.dumps(self._entries, indent=1))
         return path
+
+    @staticmethod
+    def _remove_files(paths) -> None:
+        for p in paths:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
     def best(self) -> dict | None:
         return self._entries[0] if self._entries else None

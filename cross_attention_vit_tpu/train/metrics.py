@@ -89,37 +89,55 @@ def binary_auroc(scores: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 class MetricAccumulator:
-    """Host-side epoch accumulator: sums confusion counts and loss, collects
-    scores/labels for AUROC; `result()` yields the epoch's metric dict.
+    """Epoch accumulator with O(1) blocking host syncs per epoch.
 
-    This is the on_epoch=True aggregation the reference gets from Lightning
-    `self.log(..., on_epoch=True, on_step=False)` (model_cross.py:246-255).
+    `update()` accumulates confusion counts and the batch-size-weighted loss
+    sum as *device* scalars (tiny async dispatches, nothing blocks) and keeps
+    the per-batch score/label arrays wherever they live; `result()` fetches
+    everything in ONE `jax.device_get`.  This keeps the train epoch free of
+    per-step D2H traffic — on hosts with a slow device link the per-step sync
+    was the epoch bottleneck.
+
+    The loss mean is weighted by batch size, matching Lightning's
+    on_epoch=True aggregation (the reference logs via `self.log(...,
+    on_epoch=True)`, model_cross.py:246-255 — Lightning weights by batch
+    size, so a partial last batch is not overweighted).  Classification
+    metrics are micro-aggregated from epoch confusion counts and AUROC is
+    epoch-global — a deliberate improvement over Lightning's mean of
+    per-step AUROCs (documented divergence).
     """
 
     def __init__(self):
-        self.counts = {"tp": 0, "tn": 0, "fp": 0, "fn": 0}
-        self.loss_sum = 0.0
-        self.loss_n = 0
+        self.counts = None
+        self.loss_sum = None
+        self.n = 0
         self.scores = []
         self.labels = []
 
-    def update(self, loss: float, counts: dict, scores, labels) -> None:
-        for k in self.counts:
-            self.counts[k] += int(counts[k])
-        self.loss_sum += float(loss)
-        self.loss_n += 1
-        import numpy as np
-        self.scores.append(np.asarray(scores))
-        self.labels.append(np.asarray(labels))
+    def update(self, loss, counts: dict, scores, labels) -> None:
+        bs = int(labels.shape[0])
+        w_loss = loss * bs
+        if self.counts is None:
+            self.counts = dict(counts)
+            self.loss_sum = w_loss
+        else:
+            self.counts = {k: self.counts[k] + counts[k] for k in counts}
+            self.loss_sum = self.loss_sum + w_loss
+        self.n += bs
+        self.scores.append(scores)
+        self.labels.append(labels)
 
     def result(self) -> dict:
         import numpy as np
-        c = {k: jnp.asarray(v) for k, v in self.counts.items()}
-        out = {k: float(v) for k, v in metrics_from_counts(c).items()}
-        out["loss"] = self.loss_sum / max(self.loss_n, 1)
-        if self.scores:
-            scores = np.concatenate(self.scores)
-            labels = np.concatenate(self.labels)
-            out["auc_roc"] = float(binary_auroc(jnp.asarray(scores),
-                                                jnp.asarray(labels)))
+
+        if self.counts is None:
+            return {}
+        counts, loss_sum, scores, labels = jax.device_get(
+            (self.counts, self.loss_sum, self.scores, self.labels))
+        out = {k: float(v) for k, v in metrics_from_counts(counts).items()}
+        out["loss"] = float(loss_sum) / max(self.n, 1)
+        if scores:
+            out["auc_roc"] = float(binary_auroc(
+                jnp.asarray(np.concatenate(scores)),
+                jnp.asarray(np.concatenate(labels))))
         return out

@@ -33,7 +33,24 @@ from .metrics import MetricAccumulator, confusion_counts
 from .schedule import cosine_annealing_lr
 
 
-def make_train_step(model_apply, config: Config, donate: bool = True):
+def _replicate_aux(aux: dict, mesh) -> dict:
+    """Constrain the per-step metric outputs to a fully-replicated layout.
+
+    Scalars (loss, counts) come out of the reduction replicated already; the
+    per-sample probs/labels are batch-sharded over 'data' — the constraint
+    makes GSPMD all-gather them (a few hundred floats), so every HOST holds
+    the full vectors and epoch-end `device_get` works under multi-host
+    (the sync_dist=True equivalent, reference model_cross.py:246-255)."""
+    if mesh is None:
+        return aux
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    return jax.tree.map(lambda x: jax.lax.with_sharding_constraint(x, rep), aux)
+
+
+def make_train_step(model_apply, config: Config, donate: bool = True,
+                    mesh=None):
     """Builds the jitted SPMD train step.
 
     Signature: (params, opt_state, img, labels, lr, rng) →
@@ -65,28 +82,29 @@ def make_train_step(model_apply, config: Config, donate: bool = True):
             "probs": jax.nn.softmax(logits, axis=1)[:, 1],
             "labels": labels,
         }
-        return params, opt_state, aux
+        return params, opt_state, _replicate_aux(aux, mesh)
 
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(model_apply, config: Config):
+def make_eval_step(model_apply, config: Config, mesh=None):
     def step(params, img, labels):
         logits, loss = model_apply(params, config, img, labels, train=False)
         preds = jnp.argmax(logits, axis=1)
-        return {
+        return _replicate_aux({
             "loss": loss,
             "logits": logits,
             "counts": confusion_counts(preds, labels),
             "probs": jax.nn.softmax(logits, axis=1)[:, 1],
             "labels": labels,
-        }
+        }, mesh)
 
     return jax.jit(step)
 
 
-def make_stateful_train_step(model_apply, config: Config, donate: bool = True):
+def make_stateful_train_step(model_apply, config: Config, donate: bool = True,
+                             mesh=None):
     """Train step for models with mutable state (BatchNorm running stats —
     the vit3d family): apply(params, state, cfg, img, labels, train, rng)
     → (logits, loss, new_state).  Gradients flow through params only; the
@@ -117,24 +135,24 @@ def make_stateful_train_step(model_apply, config: Config, donate: bool = True):
             "probs": jax.nn.softmax(logits, axis=1)[:, 1],
             "labels": labels,
         }
-        return params, new_state, opt_state, aux
+        return params, new_state, opt_state, _replicate_aux(aux, mesh)
 
     donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_stateful_eval_step(model_apply, config: Config):
+def make_stateful_eval_step(model_apply, config: Config, mesh=None):
     def step(params, model_state, img, labels):
         logits, loss, _ = model_apply(params, model_state, config, img, labels,
                                       train=False)
         preds = jnp.argmax(logits, axis=1)
-        return {
+        return _replicate_aux({
             "loss": loss,
             "logits": logits,
             "counts": confusion_counts(preds, labels),
             "probs": jax.nn.softmax(logits, axis=1)[:, 1],
             "labels": labels,
-        }
+        }, mesh)
 
     return jax.jit(step)
 
@@ -194,11 +212,15 @@ class Trainer:
             raise ValueError(f"unknown schedule {schedule!r}")
 
         if stateful:
-            self.train_step = make_stateful_train_step(model_module.apply, config)
-            self.eval_step = make_stateful_eval_step(model_module.apply, config)
+            self.train_step = make_stateful_train_step(model_module.apply,
+                                                       config, mesh=mesh)
+            self.eval_step = make_stateful_eval_step(model_module.apply,
+                                                     config, mesh=mesh)
         else:
-            self.train_step = make_train_step(model_module.apply, config)
-            self.eval_step = make_eval_step(model_module.apply, config)
+            self.train_step = make_train_step(model_module.apply, config,
+                                              mesh=mesh)
+            self.eval_step = make_eval_step(model_module.apply, config,
+                                            mesh=mesh)
 
         self.params = None
         self.model_state = None
@@ -231,6 +253,15 @@ class Trainer:
                  "epoch": jnp.asarray(epoch, jnp.int32)}
         if self.stateful:
             state["model_state"] = self.model_state
+        if self.plateau is not None:
+            # ReduceLROnPlateau is stateful (current lr / best / bad-epoch
+            # count) — without this a resumed plateau run silently restarts
+            # at the base lr with reset patience
+            state["plateau"] = {
+                "lr": jnp.asarray(self.plateau.lr, jnp.float32),
+                "best": jnp.asarray(self.plateau.best, jnp.float32),
+                "num_bad": jnp.asarray(self.plateau.num_bad, jnp.int32),
+            }
         return state
 
     def maybe_resume(self):
@@ -257,8 +288,25 @@ class Trainer:
         self.params, self.opt_state = params, opt
         if self.stateful:
             self.model_state = state["model_state"]
+        if self.plateau is not None and "plateau" in state:
+            self.plateau.lr = float(state["plateau"]["lr"])
+            self.plateau.best = float(state["plateau"]["best"])
+            self.plateau.num_bad = int(state["plateau"]["num_bad"])
         self.global_step = step
         return int(state["epoch"]) + 1
+
+    def _host_snapshot(self, epoch: int) -> dict:
+        """Fetch the checkpoint state to host numpy.  Multi-host: TP-sharded
+        params are not fully addressable from one process, so a jitted
+        identity with replicated out-shardings all-gathers them first (every
+        process must call this — it is a collective)."""
+        state = self._ckpt_state(epoch)
+        if self.mesh is not None and jax.process_count() > 1:
+            from ..parallel import replicated
+
+            state = jax.jit(lambda s: s,
+                            out_shardings=replicated(self.mesh))(state)
+        return jax.device_get(state)
 
     # -- loops ----------------------------------------------------------------
     def _run_epoch_train(self, loader, indices, lr, epoch_rng):
@@ -274,8 +322,9 @@ class Trainer:
                 self.params, self.opt_state, aux = self.train_step(
                     self.params, self.opt_state, imgs, labels, lr_arr, rng)
             self.global_step += 1
-            acc.update(aux["loss"], jax.device_get(aux["counts"]),
-                       aux["probs"], aux["labels"])
+            # device-side accumulation: nothing here blocks on the device —
+            # the epoch does O(1) device_gets total (in acc.result())
+            acc.update(aux["loss"], aux["counts"], aux["probs"], aux["labels"])
         return acc.result()
 
     def _run_epoch_eval(self, loader, indices):
@@ -285,8 +334,7 @@ class Trainer:
                 aux = self.eval_step(self.params, self.model_state, imgs, labels)
             else:
                 aux = self.eval_step(self.params, imgs, labels)
-            acc.update(aux["loss"], jax.device_get(aux["counts"]),
-                       aux["probs"], aux["labels"])
+            acc.update(aux["loss"], aux["counts"], aux["probs"], aux["labels"])
         return acc.result()
 
     def fit(self, train_loader, val_loader, sampler=None,
@@ -304,24 +352,35 @@ class Trainer:
 
         n_train = len(train_loader.dataset)
         n_val = len(val_loader.dataset)
+        # multi-host: every process runs this loop over ITS shard of each
+        # epoch's indices; batches are assembled into global arrays by
+        # loader._put and metric outputs come back replicated, so all hosts
+        # compute identical history rows.  Only process 0 writes artifacts.
+        nproc = jax.process_count()
+        pid = jax.process_index()
+        is_main = pid == 0
         history = []
         for epoch in range(start_epoch, self.max_epochs):
             t0 = time.time()
             lr = self.lr_fn(epoch)
             epoch_rng = jax.random.fold_in(jax.random.key(self.seed), epoch)
             if sampler is not None:
-                train_idx = sampler.epoch_indices(epoch)
+                train_idx = sampler.epoch_indices(epoch, host_id=pid,
+                                                  num_hosts=nproc)
             else:
                 train_idx = np.random.default_rng((self.seed, epoch)).permutation(n_train)
+                train_idx = host_shard(train_idx, pid, nproc)
+            val_idx = host_shard(np.arange(n_val), pid, nproc)
 
             train_m = self._run_epoch_train(train_loader, train_idx, lr, epoch_rng)
-            val_m = self._run_epoch_eval(val_loader, np.arange(n_val))
+            val_m = self._run_epoch_eval(val_loader, val_idx)
 
             row = {f"train_{_short(k)}": v for k, v in train_m.items()}
             row.update({f"val_{_short(k)}": v for k, v in val_m.items()})
             row["lr"] = lr
             row["epoch_time_s"] = time.time() - t0
-            if epoch % self.log_every == 0 or epoch == self.max_epochs - 1:
+            if is_main and (epoch % self.log_every == 0
+                            or epoch == self.max_epochs - 1):
                 self.logger.log_metrics(row, epoch)
             history.append(row)
 
@@ -333,14 +392,17 @@ class Trainer:
             if self.checkpoint is not None or want_latest:
                 # fetch the state to host ONCE per epoch — a full-size
                 # device_get is ~3 GB over the host link, and both managers
-                # save the same snapshot
-                host_state = jax.device_get(self._ckpt_state(epoch))
-                if self.checkpoint is not None:
-                    self.checkpoint.save(epoch, row[self.checkpoint_monitor],
-                                         host_state)
-                if want_latest:
-                    self.latest.save(self.global_step, host_state)
-            if verbose:
+                # save the same snapshot.  Under multi-host the fetch is a
+                # collective (all-gather of TP shards), so every process
+                # participates; only process 0 writes files.
+                host_state = self._host_snapshot(epoch)
+                if is_main:
+                    if self.checkpoint is not None:
+                        self.checkpoint.save(epoch, row[self.checkpoint_monitor],
+                                             host_state)
+                    if want_latest:
+                        self.latest.save(self.global_step, host_state)
+            if verbose and is_main:
                 print(f"epoch {epoch:3d}  lr {lr:.2e}  "
                       f"train_loss {row['train_loss']:.4f}  "
                       f"val_loss {row['val_loss']:.4f}  "
@@ -377,6 +439,20 @@ class Trainer:
             return 1.0 / (1.0 + np.exp(-logits))
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         return (e / e.sum(axis=1, keepdims=True))[:, 1]
+
+
+def host_shard(indices: np.ndarray, pid: int, nproc: int) -> np.ndarray:
+    """This process's contiguous share of an epoch's index order.
+
+    Pads by wrap-around so every process yields the SAME number of
+    equally-sized batches (unequal counts would deadlock the collective
+    batch assembly) — the torch DistributedSampler convention the
+    reference inherits from Lightning DDP (SURVEY.md §2.3 caveat)."""
+    if nproc <= 1:
+        return indices
+    share = -(-len(indices) // nproc)  # ceil
+    padded = np.resize(indices, share * nproc)
+    return padded[pid * share:(pid + 1) * share]
 
 
 _SHORT = {"accuracy": "acc", "precision": "prec", "recall": "rec",

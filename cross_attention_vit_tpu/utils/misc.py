@@ -14,6 +14,21 @@ import numpy as np
 from ..train.metrics import compute_metrics  # noqa: F401
 
 
+def enable_compilation_cache(cache_dir: str,
+                             min_compile_secs: float = 1.0) -> None:
+    """Persistent XLA compilation cache: full-size ModelCross train-step
+    compiles cost 65-273 s per process on this host — with the cache a
+    re-run (bench repeat, resumed training, evaluation of a checkpoint)
+    deserializes the executable in seconds instead."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_secs))
+    # cache hits regardless of how long the original compile took
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def accum_tensor(t1, t2, func) -> float:
     """sum(func(a, b) for paired scalars a, b) — vectorized equivalent of the
     reference's recursion (which is O(n) Python frames; this is one pass)."""

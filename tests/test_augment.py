@@ -158,3 +158,19 @@ def test_pipeline_apply_rates():
 def test_rot90_requires_square():
     with pytest.raises(ValueError):
         augment_volume(jax.random.key(0), jnp.zeros((8, 6, 4)))
+
+
+def test_scan_mode_matches_vmap_mode():
+    """mode='scan' (lax.cond gating, expected-value cost) draws the same
+    randomness as mode='vmap' (compute-all + select) — outputs match to
+    float tolerance (XLA fuses the two lowerings differently, so exact bits
+    differ in the resampled transforms)."""
+    import jax
+    from cross_attention_vit_tpu.data.augment import augment_batch
+
+    rng = np.random.default_rng(11)
+    imgs = rng.normal(size=(3, 2, 1, 16, 16, 8)).astype(np.float32) * 50
+    key = jax.random.key(42)
+    a = np.asarray(augment_batch(key, imgs, mode="vmap"))
+    b = np.asarray(augment_batch(key, imgs, mode="scan"))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4)
