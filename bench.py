@@ -80,9 +80,16 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
                       cache=False)
     loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3)
 
+    import jax.numpy as jnp
+
+    def sync(x):
+        # force real completion: the relay's block_until_ready can ack early,
+        # a D2H scalar fetch cannot (see bench_device.sync)
+        return float(jnp.sum(x))
+
     # warmup: compile + touch every file once
     for imgs, _ in loader(np.arange(6)):
-        jax.block_until_ready(fwd(params, imgs))
+        sync(fwd(params, imgs))
 
     # steady state: three measurement windows of REPEATS cohort passes each,
     # decode included (no cache); report the median window — the shared-vCPU
@@ -96,7 +103,7 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
         for imgs, _ in loader(idx):
             last = fwd(params, imgs)  # async dispatch; decode overlaps compute
             n += imgs.shape[0]
-        jax.block_until_ready(last)
+        sync(last)
         rates.append(n / (time.perf_counter() - t0))
     vols_per_sec = float(np.median(rates))
 
@@ -106,7 +113,7 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
         i = r % len(df)
         t0 = time.perf_counter()
         imgs, label = ds[i]
-        jax.block_until_ready(fwd(params, imgs[None]))
+        sync(fwd(params, imgs[None]))
         lat.append((time.perf_counter() - t0) * 1000)
     return vols_per_sec, float(np.percentile(lat, 50))
 
@@ -145,15 +152,22 @@ def bench_device(cfg, df) -> dict:
 
     params = model_cross.init(jax.random.key(0), cfg)
 
+    def sync(x):
+        # the axon relay's block_until_ready can ack before execution
+        # finishes even on the last dispatched output (measured: a "0.26 ms"
+        # batch-8 forward = 28× chip peak).  Fetching a scalar derived from
+        # the output forces real completion: data can't cross D2H early.
+        return float(jnp.sum(x))
+
     # --- forward ------------------------------------------------------------
     fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
-    jax.block_until_ready(fwd(params, imgs8))  # compile
+    sync(fwd(params, imgs8))  # compile
     reps = 30
     t0 = time.perf_counter()
     out = None
     for _ in range(reps):
         out = fwd(params, imgs8)
-    jax.block_until_ready(out)
+    sync(out)
     fwd_s = (time.perf_counter() - t0) / reps
 
     # --- train step ----------------------------------------------------------
@@ -163,13 +177,13 @@ def bench_device(cfg, df) -> dict:
     params_t, opt_t = params, opt_state
     params_t, opt_t, aux = step(params_t, opt_t, imgs8, labels8, lr,
                                 jax.random.key(1))  # compile
-    jax.block_until_ready(aux["loss"])
+    sync(aux["loss"])
     reps = 10
     t0 = time.perf_counter()
     for i in range(reps):
         params_t, opt_t, aux = step(params_t, opt_t, imgs8, labels8, lr,
                                     jax.random.fold_in(jax.random.key(1), i))
-    jax.block_until_ready(aux["loss"])
+    sync(aux["loss"])
     train_s = (time.perf_counter() - t0) / reps
 
     fwd_flops = F.model_cross_fwd_flops(cfg, 8)

@@ -67,16 +67,27 @@ def _cfg(factory_name: str, **over):
     return cfg
 
 
-def _time_window(fn, reps: int, *args):
-    """Dispatch `reps` calls, block once on the last result (axon acks early
-    under queue pressure; see CLAUDE.md)."""
-    import jax
+def _sync(x) -> float:
+    """Force real device completion: the axon relay's block_until_ready can
+    ack before execution finishes even on the last dispatched output; a D2H
+    scalar fetch cannot return early."""
+    import jax.numpy as jnp
 
+    leaf = x
+    if isinstance(x, (tuple, list)):
+        leaf = x[0]
+    elif isinstance(x, dict):
+        leaf = next(iter(x.values()))
+    return float(jnp.sum(leaf))
+
+
+def _time_window(fn, reps: int, *args):
+    """Dispatch `reps` calls, force completion once on the last result."""
     out = None
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
@@ -104,7 +115,7 @@ def config1():
     img = img[None]
     params = model_vit.init(jax.random.key(0), cfg)
     fwd = jax.jit(lambda p, x: model_vit.apply(p, cfg, x, train=False))
-    jax.block_until_ready(fwd(params, img))
+    _sync(fwd(params, img))
     dt = _time_window(fwd, 5, params, img)
     return {
         "metric": "config1_vit_tiny_cpu_volumes_per_sec",
@@ -131,7 +142,7 @@ def config2():
     img = jax.device_put(img[None])
     params = model_cross.init(jax.random.key(0), cfg)
     fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
-    jax.block_until_ready(fwd(params, img))
+    _sync(fwd(params, img))
     dt = _time_window(fwd, 30, params, img)
     return {
         "metric": "config2_dual_stream_volumes_per_sec",
@@ -165,7 +176,7 @@ def config3():
                       cache=False)
     loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3)
     for imgs, _ in loader(np.arange(6)):  # warmup: compile + touch files
-        jax.block_until_ready(fwd(params, imgs))
+        _sync(fwd(params, imgs))
     rates = []
     for _ in range(3):
         idx = np.tile(np.arange(6), 4)
@@ -174,7 +185,7 @@ def config3():
         for imgs, _ in loader(idx):
             last = fwd(params, imgs)
             n += imgs.shape[0]
-        jax.block_until_ready(last)
+        _sync(last)
         rates.append(n / (time.perf_counter() - t0))
     rates.sort()
     return {
@@ -218,13 +229,13 @@ def config4():
     lr = jnp.asarray(1e-4, jnp.float32)
     params, opt_state, aux = step(params, opt_state, imgs, labels, lr,
                                   jax.random.key(1))
-    jax.block_until_ready(aux["loss"])
+    _sync(aux["loss"])
     reps = 8
     t0 = time.perf_counter()
     for i in range(reps):
         params, opt_state, aux = step(params, opt_state, imgs, labels, lr,
                                       jax.random.fold_in(jax.random.key(1), i))
-    jax.block_until_ready(aux["loss"])
+    _sync(aux["loss"])
     dt = (time.perf_counter() - t0) / reps
     fwd_flops = F.model_vit_fwd_flops(cfg, 32)
     return {

@@ -70,7 +70,7 @@ def filter_available(data, folder) -> "object":
 
 def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
              out_dir, run_name, max_epochs, batch_size, seed, verbose,
-             mesh=None):
+             mesh=None, latest_every=5):
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
@@ -100,7 +100,7 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
-                      seed=seed, latest_every=5, mesh=mesh)
+                      seed=seed, latest_every=latest_every, mesh=mesh)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history
@@ -109,7 +109,7 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
                max_epochs=250, batch_size=8, verbose=True, overrides=None,
-               only_available=False, mesh=None):
+               only_available=False, mesh=None, latest_every=5):
     """The live driver (reference main_mist.py:156-219).
 
     mesh: a parallel.make_mesh ('data','model') Mesh — the replacement for
@@ -145,7 +145,7 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                     model_module, cur_config, params, train_df, val_df,
                     folder=folder, out_dir=out_dir, run_name=run_name,
                     max_epochs=max_epochs, batch_size=batch_size, seed=seed,
-                    verbose=verbose, mesh=mesh)
+                    verbose=verbose, mesh=mesh, latest_every=latest_every)
                 results[run_name] = history
     return results
 
@@ -221,7 +221,25 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--no-compile-cache", action="store_true",
                    help="disable the persistent XLA compilation cache")
+    p.add_argument("--set", dest="sets", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="config override, e.g. --set remat=True "
+                        "--set compute_dtype=bfloat16 (python-literal values)")
+    p.add_argument("--latest-every", type=int, default=5,
+                   help="rolling resume-checkpoint cadence in epochs")
     args = p.parse_args(argv)
+
+    overrides = {}
+    for kv in args.sets:
+        key, _, value = kv.partition("=")
+        if not _:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        import ast
+
+        try:
+            overrides[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            overrides[key] = value  # bare strings allowed
 
     if args.coordinator or args.num_processes:
         from ..parallel import multihost_init
@@ -248,7 +266,10 @@ def main(argv=None):
 
     kwargs = dict(labels_csv=args.labels, folder=args.data, out_dir=args.out,
                   max_epochs=args.epochs, batch_size=args.batch_size,
-                  only_available=args.only_available, mesh=mesh)
+                  only_available=args.only_available, mesh=mesh,
+                  overrides=overrides or None)
+    if args.mode == "full":
+        kwargs["latest_every"] = args.latest_every
     if args.mode == "full":
         if args.seeds:
             kwargs["test_seeds"] = tuple(args.seeds)
