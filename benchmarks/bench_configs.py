@@ -214,6 +214,9 @@ def config4():
                img_aug=True)
     cfg.compute_dtype = "bfloat16"
     cfg.use_flash_attention = True
+    # batch 32 × depth 12 × seq 1025 saves ~190 MB of padded flash qkv per
+    # layer for the backward — past v5e HBM without rematerialization
+    cfg.remat = True
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,
                       cache=True)
@@ -244,7 +247,7 @@ def config4():
         "unit": "volumes/s (train step: device aug + fwd + bwd + Adam, batch 32)",
         "train_step_ms": round(dt * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops), dt), 4),
-        "config": "ModelVIT depth 12 (ViT-Base depth), 2 streams, full device aug, bf16",
+        "config": "ModelVIT depth 12 (ViT-Base depth), 2 streams, full device aug, bf16, remat",
     }
 
 
