@@ -117,7 +117,14 @@ class CheckpointManager:
         self._manifest_path = self.dir / f"manifest{('_' + tag) if tag else ''}.json"
         self._entries: list[dict] = []
         if self._manifest_path.exists():
-            self._entries = json.loads(self._manifest_path.read_text())
+            # dedup by filename on load: manifests written before the
+            # replace-on-resave fix may carry duplicate entries for epochs a
+            # resumed run replayed
+            seen = set()
+            for e in json.loads(self._manifest_path.read_text()):
+                if e["file"] not in seen:
+                    seen.add(e["file"])
+                    self._entries.append(e)
 
     def _better(self, a: float, b: float) -> bool:
         return a < b if self.mode == "min" else a > b
@@ -132,6 +139,10 @@ class CheckpointManager:
         fname = f"epoch={epoch:02d}-{self.monitor}={metric_value:.4f}{self.tag}.npz"
         path = self.dir / fname
         save_pytree(path, state, async_write=self.async_write)
+        # a resumed run re-saves epochs it replayed: the file is overwritten
+        # in place, so replace any manifest entry with the same name instead
+        # of double-counting it against the top-k budget
+        self._entries = [e for e in self._entries if e["file"] != fname]
         self._entries.append({"epoch": epoch, "metric": float(metric_value),
                               "file": fname})
         self._entries.sort(key=lambda e: e["metric"],

@@ -20,13 +20,26 @@ class CSVLogger:
         self.path = self.dir / "metrics.csv"
         self._rows: list[dict] = []
         self._fields: list[str] = ["epoch"]
+        if self.path.exists():
+            # resumed run: keep the pre-preemption history instead of
+            # overwriting it (a resumed epoch re-logs and replaces its row)
+            with open(self.path, newline="") as f:
+                for row in csv.DictReader(f):
+                    parsed = {k: (int(v) if k == "epoch" else float(v))
+                              for k, v in row.items() if v not in ("", None)}
+                    self._rows.append(parsed)
+                    for k in parsed:
+                        if k not in self._fields:
+                            self._fields.append(k)
 
     def log_metrics(self, metrics: dict, epoch: int) -> None:
         row = {"epoch": epoch, **{k: float(v) for k, v in metrics.items()}}
         for k in row:
             if k not in self._fields:
                 self._fields.append(k)
+        self._rows = [r for r in self._rows if r.get("epoch") != epoch]
         self._rows.append(row)
+        self._rows.sort(key=lambda r: r.get("epoch", 0))
         with open(self.path, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields)
             w.writeheader()

@@ -311,3 +311,41 @@ def test_async_checkpoint_writes(tmp_path):
     step, got = lc.restore_latest(state)
     assert step == 20
     np.testing.assert_array_equal(np.asarray(got["w"]), np.arange(100.0))
+
+
+def test_checkpoint_manager_resume_no_duplicate_entries(tmp_path):
+    """A resumed run replays epochs it already saved: same filename, same
+    metric.  The manifest must replace the old entry, not double-count it
+    against the top-k budget (observed live: a SIGKILL+resume of the training
+    CLI left epochs 2 and 3 listed twice)."""
+    state = {"w": jnp.ones((2,))}
+    mgr = CheckpointManager(tmp_path, monitor="val_loss", save_top_k=4, mode="min")
+    mgr.save(0, 1.0, state)
+    mgr.save(1, 0.5, state)
+    # simulate preemption + resume: a fresh manager reloads the manifest
+    mgr2 = CheckpointManager(tmp_path, monitor="val_loss", save_top_k=4, mode="min")
+    mgr2.save(1, 0.5, state)   # replayed epoch
+    mgr2.save(2, 0.7, state)
+    assert len(mgr2._entries) == 3
+    assert sorted(e["epoch"] for e in mgr2._entries) == [0, 1, 2]
+    assert len(list(tmp_path.glob("*.npz"))) == 3
+
+
+def test_csv_logger_appends_across_resume(tmp_path):
+    """A resumed run's CSVLogger must keep the pre-preemption rows (observed
+    live: resume overwrote metrics.csv, losing epochs 0-1), and a replayed
+    epoch replaces its row instead of duplicating it."""
+    from cross_attention_vit_tpu.train.loggers import CSVLogger
+
+    lg = CSVLogger(tmp_path, "run")
+    lg.log_metrics({"train_loss": 1.0}, 0)
+    lg.log_metrics({"train_loss": 0.8}, 1)
+    lg2 = CSVLogger(tmp_path, "run")  # fresh process after preemption
+    lg2.log_metrics({"train_loss": 0.8}, 1)  # replayed epoch
+    lg2.log_metrics({"train_loss": 0.6, "val_loss": 0.9}, 2)
+
+    import csv as _csv
+    with open(tmp_path / "run" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
+    assert float(rows[2]["val_loss"]) == 0.9
