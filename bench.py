@@ -78,7 +78,12 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
 
     ds = BrainDataset(df, cfg, types=MODALITIES, is_train=False, folder=UCSF,
                       cache=False)
-    loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3)
+    # bf16 transfer: the compute dtype is bf16, so the first matmul rounds
+    # the input to bf16 regardless — shipping bf16 halves H2D bytes (the
+    # pipeline bottleneck on this relay-attached host) with bit-identical
+    # logits (tests/test_data.py::test_bf16_transfer_parity)
+    loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3,
+                            transfer_dtype="bfloat16")
 
     import jax.numpy as jnp
 
@@ -107,13 +112,16 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
         rates.append(n / (time.perf_counter() - t0))
     vols_per_sec = float(np.median(rates))
 
-    # p50 per-volume latency: single subject end to end (decode 3 vols + fwd)
+    # p50 per-volume latency: single subject end to end (decode 3 vols +
+    # bf16 H2D + fwd)
+    import ml_dtypes
+
     lat = []
     for r in range(2 * len(df)):
         i = r % len(df)
         t0 = time.perf_counter()
         imgs, label = ds[i]
-        sync(fwd(params, imgs[None]))
+        sync(fwd(params, imgs[None].astype(ml_dtypes.bfloat16)))
         lat.append((time.perf_counter() - t0) * 1000)
     return vols_per_sec, float(np.percentile(lat, 50))
 

@@ -27,13 +27,21 @@ class PrefetchLoader:
     def __init__(self, dataset: BrainDataset, batch_size: int,
                  num_workers: int = 4, prefetch: int = 2,
                  sharding: jax.sharding.Sharding | None = None,
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 transfer_dtype: str | np.dtype | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.sharding = sharding
         self.drop_last = drop_last
+        # Optional low-precision H2D transfer.  The host→HBM link is the e2e
+        # bottleneck on relay-attached hosts (BENCH notes), and when the model
+        # computes in bf16 the first matmul rounds the input to bf16 anyway —
+        # so casting on host before device_put halves transfer bytes with
+        # bit-identical logits (models re-promote to f32 at entry, preserving
+        # f32 accumulation; see ops.layers.promote_input).
+        self.transfer_dtype = _resolve_dtype(transfer_dtype)
 
     def _batches(self, indices: Sequence[int]) -> list[np.ndarray]:
         idx = np.asarray(indices)
@@ -88,6 +96,12 @@ class PrefetchLoader:
             labels = np.asarray([it[1] for it in items], dtype=np.int32)
             return imgs, labels
 
+        def cast_batch(imgs):
+            td = self.transfer_dtype
+            if td is not None and imgs.dtype != td:
+                imgs = imgs.astype(td)
+            return imgs
+
         def safe_put(item) -> bool:
             """put() that gives up when the consumer abandoned iteration —
             otherwise a full queue would block this thread forever."""
@@ -105,6 +119,7 @@ class PrefetchLoader:
                     if stop.is_set():
                         return
                     imgs, labels = fetch_batch(b)
+                    imgs = cast_batch(imgs)
                     if self.sharding is not None:
                         imgs = _put(imgs, self.sharding)
                         labels = _put(labels, _label_sharding(self.sharding))
@@ -131,6 +146,24 @@ class PrefetchLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False)
+
+
+def transfer_dtype_for(config) -> str | None:
+    """Loader transfer dtype implied by the model's compute dtype: bf16
+    compute rounds the input at the first matmul regardless, so shipping the
+    batch as bf16 halves H2D bytes with bit-identical logits."""
+    return "bfloat16" if config.get("compute_dtype", "float32") == "bfloat16" else None
+
+
+def _resolve_dtype(td):
+    """'bfloat16'/'float16'/np dtype → numpy dtype (ml_dtypes supplies bf16)."""
+    if td is None:
+        return None
+    if isinstance(td, str) and td == "bfloat16":
+        import ml_dtypes
+
+        return np.dtype(ml_dtypes.bfloat16)
+    return np.dtype(td)
 
 
 def _put(x, sharding):

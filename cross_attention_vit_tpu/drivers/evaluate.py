@@ -23,7 +23,7 @@ import jax
 from ..configs import get_mgmt_config, get_mgmt_cross_config, modify_config
 from ..data.dataset import BrainDataset
 from ..data.labels import clean_data, load_labels
-from ..data.loader import PrefetchLoader
+from ..data.loader import PrefetchLoader, transfer_dtype_for
 from ..models import model_cross, model_vit
 from ..train.checkpoint import restore_pytree
 from ..train.metrics import binary_auroc, compute_metrics
@@ -83,7 +83,8 @@ def evaluate(checkpoint: str | Path, model: str, data_df, *, folder: str,
     ds = BrainDataset(data_df, cfg, types=img_types, is_train=False,
                       folder=folder)
     loader = PrefetchLoader(ds, batch_size=batch_size, num_workers=4,
-                            sharding=trainer.data_sharding)
+                            sharding=trainer.data_sharding,
+                            transfer_dtype=transfer_dtype_for(cfg))
     logits, targets = trainer.test(loader)
     logits, targets = logits[:n], targets[:n]
     preds = logits.argmax(axis=1)

@@ -26,7 +26,7 @@ from pathlib import Path
 from ..configs import Params, get_mgmt_config, get_mgmt_cross_config, modify_config
 from ..data.dataset import BrainDataset, WeightedRandomSampler, create_sampler_weights
 from ..data.labels import clean_data, load_labels
-from ..data.loader import PrefetchLoader
+from ..data.loader import PrefetchLoader, transfer_dtype_for
 from ..models import model_cross, model_vit
 from ..train.checkpoint import CheckpointManager, LatestCheckpointer
 from ..train.loggers import CSVLogger, MultiLogger, TensorBoardLogger
@@ -95,8 +95,11 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     val_ds = BrainDataset(val_df, cur_config, types=params.img_types,
                           is_train=False, folder=folder, cache=False,
                           disk_cache=vol_cache)
-    train_loader = PrefetchLoader(train_ds, batch_size=batch_size, num_workers=5)
-    val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5)
+    td = transfer_dtype_for(cur_config)
+    train_loader = PrefetchLoader(train_ds, batch_size=batch_size, num_workers=5,
+                                  transfer_dtype=td)
+    val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5,
+                                transfer_dtype=td)
 
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import initializers as init_ops
-from ..ops.layers import RngStream, dropout, gelu, layernorm, linear
+from ..ops.layers import (RngStream, dropout, gelu, layernorm, linear,
+                          promote_input)
 from ..ops.losses import bce_with_logits
 from ..ops.conv import conv3d, max_pool3d, relu
 
@@ -149,6 +150,7 @@ def apply(params: dict, config: Config, img: jax.Array,
           labels: jax.Array | None = None, train: bool = False,
           rng: jax.Array | None = None):
     """img (B, M, C, D, H, W) → logits (B,) [single BCE logit], loss?"""
+    img = promote_input(img)
     d = _defaults(config)
     rngs = RngStream(rng)
     M = img.shape[1]

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..configs import Config
 from ..ops import initializers as init_ops
 from ..ops.attention import cross_attention_cls, self_attention
-from ..ops.layers import RngStream, dropout, feed_forward, layernorm, linear, mlp_head
+from ..ops.layers import (RngStream, dropout, feed_forward, layernorm, linear,
+                          mlp_head, promote_input)
 from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
 
@@ -202,6 +203,7 @@ def apply(params: dict, config: Config, img: jax.Array,
     Returns logits (B, num_classes), or (logits, loss) when labels given —
     mirroring `forward(img, labels) -> (x, loss)` (model_cross.py:186-212).
     """
+    img = promote_input(img)
     cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
     impl = "flash" if config.use_flash_attention else "xla"
     rngs = RngStream(rng)

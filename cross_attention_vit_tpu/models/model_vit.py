@@ -19,7 +19,7 @@ from ..configs import Config
 from ..ops import initializers as init_ops
 from ..ops.attention import self_attention
 from ..ops.layers import (RngStream, dropout, feed_forward, layernorm, linear,
-                          stochastic_depth_row)
+                          promote_input, stochastic_depth_row)
 from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
 
@@ -67,6 +67,7 @@ def apply(params: dict, config: Config, img: jax.Array,
           rng: jax.Array | None = None):
     """Forward pass: img (B, M, C, D, H, W) → logits (B, num_classes) or
     (logits, loss) when labels given (reference modelv3.py:123-147)."""
+    img = promote_input(img)
     cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
     impl = "flash" if config.use_flash_attention else "xla"
     drop_path = config.get("drop_path_rate", 0.0)

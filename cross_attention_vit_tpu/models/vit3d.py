@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ..configs import Config
 from ..ops import initializers as init_ops
 from ..ops.conv import batch_norm3d, batchnorm3d_params, conv3d, max_pool3d, relu
-from ..ops.layers import RngStream, dropout, layernorm, linear
+from ..ops.layers import RngStream, dropout, layernorm, linear, promote_input
 from ..ops.losses import cross_entropy
 from . import densenet
 
@@ -191,6 +191,7 @@ def apply(params: dict, state: dict, config: Config, img: jax.Array,
           labels: jax.Array | None = None, train: bool = False,
           rng: jax.Array | None = None):
     """img (B, M, C, D, H, W) → (logits, loss?, new_state)."""
+    img = promote_input(img)
     cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
     pretrained = bool(config.get("pretrained_cnn", False))
     add_cls = bool(config.get("add_cls_token", True))

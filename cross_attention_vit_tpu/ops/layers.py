@@ -40,6 +40,22 @@ class RngStream:
         return k
 
 
+def promote_input(img: jax.Array) -> jax.Array:
+    """Re-promote a low-precision H2D transfer batch to float32 at model entry.
+
+    The data loader may ship batches as bf16/f16 to halve host→HBM bytes
+    (PrefetchLoader(transfer_dtype=...)).  Upcasting immediately keeps every
+    downstream dtype decision identical to the float32 path — in particular
+    ``linear`` still accumulates matmuls in f32 — so with bf16 compute the
+    logits are bit-identical to an f32 transfer (the first matmul would have
+    rounded the input to bf16 regardless).  The cast fuses into the first
+    device op; it is free.
+    """
+    if img.dtype in (jnp.bfloat16, jnp.float16):
+        return img.astype(jnp.float32)
+    return img
+
+
 def linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
     """x @ kernel + bias.  Optionally casts operands to `compute_dtype` for the
     matmul (bf16 on the MXU) while accumulating/returning in x.dtype."""

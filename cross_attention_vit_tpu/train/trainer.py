@@ -60,6 +60,9 @@ def make_train_step(model_apply, config: Config, donate: bool = True,
     img_aug = bool(config.get("img_aug", False))
 
     def step(params, opt_state, img, labels, lr, rng):
+        from ..ops.layers import promote_input
+
+        img = promote_input(img)  # bf16/f16 H2D transfers; f32 math below
         if img_aug:
             # device-side batched augmentation (reference runs its MONAI
             # pipeline per-sample on CPU workers; dataset_ucsf.py:94-113)

@@ -267,3 +267,54 @@ def test_loader_consumer_abandons_iteration():
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before + 1  # producer exited
+
+
+def test_loader_transfer_dtype_bf16():
+    """transfer_dtype='bfloat16' ships device batches as bf16 (half the H2D
+    bytes); labels stay int32."""
+    import jax.numpy as jnp
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+
+    class Tiny:
+        def __len__(self):
+            return 4
+
+        def batch(self, idx):
+            return (np.full((len(idx), 1, 1, 4, 4, 4), 3.14159, np.float32),
+                    np.zeros((len(idx),), np.int32))
+
+    loader = PrefetchLoader(Tiny(), batch_size=2, transfer_dtype="bfloat16")
+    batches = list(loader(range(4)))
+    assert len(batches) == 2
+    imgs, labels = batches[0]
+    assert imgs.dtype == jnp.bfloat16
+    assert labels.dtype == jnp.int32
+    # values are the bf16 rounding of the host f32 values
+    import ml_dtypes
+
+    expected = np.float32(3.14159).astype(ml_dtypes.bfloat16)
+    assert np.asarray(imgs.astype(jnp.float32)).flat[0] == np.float32(expected)
+
+
+def test_bf16_transfer_parity():
+    """With bf16 compute, bf16-transferred inputs give BIT-IDENTICAL logits
+    to f32-transferred inputs: the first matmul casts to bf16 either way and
+    promote_input keeps every downstream dtype (f32 accumulation) the same."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+    from cross_attention_vit_tpu.configs import get_mgmt_cross_config
+    from cross_attention_vit_tpu.models import model_cross
+
+    cfg = get_mgmt_cross_config()
+    modify_config(cfg, {"num_modalities": 2, "img_size": (32, 32, 16),
+                        "hidden_dim": 64, "mlp_dim": 128, "num_heads": 4,
+                        "patch_size": (8, 8, 8), "attn_order": {"0": "1"},
+                        "dropout": 0.1, "label_smoothing": 0.0})
+    cfg.compute_dtype = "bfloat16"
+    params = model_cross.init(jax.random.key(0), cfg)
+    img = np.random.RandomState(0).randn(2, 2, 1, 32, 32, 16).astype(np.float32) * 100
+    fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
+    a = np.asarray(fwd(params, jnp.asarray(img)))
+    b = np.asarray(fwd(params, jnp.asarray(img.astype(ml_dtypes.bfloat16))))
+    np.testing.assert_array_equal(a, b)
