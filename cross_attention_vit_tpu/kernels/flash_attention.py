@@ -7,10 +7,11 @@ softmax, and AV in VMEM.
 
 Two regimes, switched on sequence length:
 
-  * N ≤ 1024 — single-block kernel, one program per (batch, head): the whole
-    (N̂, N̂) score matrix fits VMEM (≤ 4 MB f32), which is the fastest shape
-    for short sequences (the live models' N = 513).
-  * N > 1024 — **streaming online-softmax kernel**: the grid gains a KV axis
+  * N ≤ 1040 — single-block kernel, one program per (batch, head): the whole
+    (N̂, N̂) score matrix fits VMEM (≤ 4.3 MB f32), which is the fastest
+    shape for short sequences (the live models' N = 513, and the 2-stream
+    concatenated ViT's N = 1025 — measured 2.1× faster than streaming there).
+  * N > 1040 — **streaming online-softmax kernel**: the grid gains a KV axis
     and Mosaic pipelines (block_q, block_kv) tiles HBM→VMEM while running
     (max, sum, acc) scratch carries the softmax state across KV steps.  VMEM
     holds only one (BQ, D) query tile, one (BKV, D) KV tile pair and the
@@ -24,10 +25,12 @@ Two regimes, switched on sequence length:
 N̂ is N padded (sublane multiple 8 short, block multiple long); padded key
 columns are masked to −inf before the softmax so results are exact.
 
-Short-sequence backward: custom VJP recomputes attention via the XLA
-formulation — measured on v5e at the live geometry (2,16,513,64): Pallas
-1.88 ms vs XLA's fused recompute 1.66 ms, so XLA stays the default there;
-the single-block Pallas backward is kept (tested) behind USE_PALLAS_BACKWARD.
+Short-sequence backward: fused single-block Pallas kernel (recompute form,
+all (N̂, N̂) intermediates in VMEM) — measured bf16 backward-only on v5e:
+5.06 ms vs 8.74 ms for the XLA-recompute VJP at (32,16,513,64) and 12.1 vs
+27.3 ms at (32,16,1025,64); the XLA path materializes the (B,K,N,N)
+probabilities in HBM and loses ground as batch·N² grows.  Set
+USE_PALLAS_BACKWARD=False to fall back to the XLA recompute VJP.
 
 Semantics match ops.attention._sdpa exactly (no dropout inside — the live
 self-attention applies no attention-prob dropout, reference model_cross.py:57).
@@ -118,9 +121,16 @@ def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = m_ref[...] + jnp.log(l_ref[...])
 
 
-# above this sequence length, switch from the single-block kernel to the
-# online-softmax streaming kernel (the N² f32 score block at 1024 is 4 MB)
-_SINGLE_BLOCK_MAX = 1024
+# Above this sequence length, switch from the single-block kernel to the
+# online-softmax streaming kernel.  1040 (not 1024) so the 2-stream
+# concatenated-ViT geometry N = 2·512 + 1 CLS = 1025 stays on the
+# single-block path: measured on v5e at (32,16,1025,64) bf16, single-block
+# (pads to 1032, 4.3 MB f32 scores) runs the forward in 7.8 ms vs 16.5 ms
+# for the streaming kernel (whose 512-blocks pad 1025→1536, 2.25× the
+# score FLOPs).  The VMEM ceiling is the backward kernel's three (N̂, N̂)
+# f32 buffers (s, p, ds — 12.8 MB at N̂=1032), which is why the cutoff
+# stops just past the live geometry instead of climbing further.
+_SINGLE_BLOCK_MAX = 1040
 _BLOCK_Q = 512
 _BLOCK_KV = 512
 _LANES = 128  # f32 lane width: lse/delta rows are lane-broadcast
@@ -456,11 +466,15 @@ def _fwd(q, k, v, scale):
 
 
 # Whether to run the fused single-block Pallas backward instead of the XLA
-# recompute VJP at short sequence lengths.  Measured on v5e at the live
-# geometry (2,16,513,64): Pallas 1.88 ms vs XLA 1.66 ms — XLA's fused
-# recompute wins at short sequences, so it stays the default.  Long
-# sequences (N > _SINGLE_BLOCK_MAX) always take the blocked Pallas backward.
-USE_PALLAS_BACKWARD = False
+# recompute VJP at short sequence lengths.  Measured on v5e in bf16,
+# backward-only: (8,16,513,64) Pallas 2.82 ms vs XLA 3.15 ms;
+# (32,16,513,64) 5.06 vs 8.74 ms; (32,16,1025,64) 12.1 vs 27.3 ms — the
+# XLA recompute materializes the (B,K,N,N) probabilities in HBM and falls
+# further behind as batch·N² grows, so the fused kernel is the default.
+# (An earlier tiny-batch (2,16,513,64) measurement had XLA ahead by 12%;
+# that regime is not the training workload.)  Long sequences
+# (N > _SINGLE_BLOCK_MAX) always take the blocked Pallas backward.
+USE_PALLAS_BACKWARD = True
 
 
 def _bwd(scale, residuals, g):

@@ -85,10 +85,36 @@ def test_flash_in_model_forward():
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("n", [1025, 1600])
+def test_flash_single_block_concat_vit_geometry():
+    """N=1025 (2-stream concatenated ViT + CLS) sits just above the old 1024
+    cutoff; it now stays on the single-block path (measured 2.1× faster than
+    streaming on v5e) and both the forward and the default Pallas backward
+    must match the dense reference."""
+    rng = np.random.default_rng(55)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, 1025, 32)).astype(np.float32))
+               for _ in range(3))
+    out = flash_attention(q, k, v, 0.125)
+    want = _reference_sdpa(q, k, v, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, 0.125) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_sdpa(q, k, v, 0.125) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n", [1041, 1600])
 def test_flash_blocked_long_sequence(n):
-    """N above the single-block threshold routes through the online-softmax
-    streaming kernel; results must match the dense reference."""
+    """N above the single-block threshold (1040) routes through the
+    online-softmax streaming kernel; results must match the dense reference."""
     rng = np.random.default_rng(5)
     shape = (1, 2, n, 64)
     q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
@@ -119,8 +145,9 @@ def test_flash_blocked_gradients():
 
 
 def test_pallas_backward_kernel_matches_xla():
-    """The fused Pallas backward (kept behind USE_PALLAS_BACKWARD; XLA's
-    recompute VJP measured faster at short N) must match the XLA gradients."""
+    """The fused Pallas backward (the single-block default; measured faster
+    than the XLA recompute VJP at training batch sizes) must match the XLA
+    gradients."""
     from cross_attention_vit_tpu.kernels.flash_attention import (
         _flash_backward_pallas)
 
