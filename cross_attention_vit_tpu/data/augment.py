@@ -387,6 +387,26 @@ def _coarse_shuffle(cfg: AugmentConfig):
 
 # --- pipeline ------------------------------------------------------------------
 
+def _steps(cfg: AugmentConfig) -> list:
+    """(prob, fn, expensive) triples in reference order (dataset_ucsf.py:94-113).
+    `expensive` marks transforms worth compaction-gating in batch mode —
+    measured per-step cost at 64×(128,128,64) volumes on v5e: affine_lu
+    88 ms, coarse_shuffle 41 ms, smooth 12 ms, zoom 6 ms vs ≤5 ms for the
+    rest (whose gather/scatter overhead would eat the gain)."""
+    affine = _affine_lu(cfg) if cfg.affine_backend == "lu" else _affine(cfg)
+    return [
+        (cfg.flip_prob, _flip0, False),
+        (cfg.rot90_prob, _rot90, False),
+        (cfg.affine_prob, affine, True),
+        (cfg.contrast_prob, _contrast(cfg), False),
+        (cfg.noise_prob, _noise(cfg), False),
+        (cfg.smooth_prob, _smooth(cfg), True),
+        (cfg.shuffle_prob, _coarse_shuffle(cfg), True),
+        (cfg.dropout_prob, _coarse_dropout(cfg), False),
+        (cfg.zoom_prob, _zoom(cfg), True),
+    ]
+
+
 def augment_volume(key: jax.Array, vol: jax.Array,
                    cfg: AugmentConfig = AugmentConfig(),
                    use_cond: bool = False) -> jax.Array:
@@ -394,32 +414,70 @@ def augment_volume(key: jax.Array, vol: jax.Array,
     if cfg.rot90_prob > 0 and vol.shape[0] != vol.shape[1]:
         raise ValueError("RandRotate90 on axes (0,1) needs D == H "
                          f"(got {vol.shape})")
-    affine = _affine_lu(cfg) if cfg.affine_backend == "lu" else _affine(cfg)
-    steps = [
-        (cfg.flip_prob, _flip0),
-        (cfg.rot90_prob, _rot90),
-        (cfg.affine_prob, affine),
-        (cfg.contrast_prob, _contrast(cfg)),
-        (cfg.noise_prob, _noise(cfg)),
-        (cfg.smooth_prob, _smooth(cfg)),
-        (cfg.shuffle_prob, _coarse_shuffle(cfg)),
-        (cfg.dropout_prob, _coarse_dropout(cfg)),
-        (cfg.zoom_prob, _zoom(cfg)),
-    ]
-    keys = jax.random.split(key, len(steps))
-    for k, (prob, fn) in zip(keys, steps):
+    keys = jax.random.split(key, len(_steps(cfg)))
+    for k, (prob, fn, _) in zip(keys, _steps(cfg)):
         if prob > 0:
             vol = _maybe(k, prob, fn, vol, use_cond=use_cond)
     return vol
 
 
+def _compact_cap(n_volumes: int, prob: float) -> int:
+    """Fixed prefix size for compaction-gating: mean + 6σ of the Binomial
+    draw count (+1).  P(count > cap) < 1e-9 per step at the live batch
+    sizes; an overflow volume silently keeps its untransformed value."""
+    import math
+
+    mean = n_volumes * prob
+    sigma = math.sqrt(n_volumes * prob * (1.0 - prob))
+    return min(n_volumes, int(math.ceil(mean + 6.0 * sigma)) + 1)
+
+
+def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
+                           cfg: AugmentConfig) -> jax.Array:
+    """Batch-stepped pipeline with compaction-gating of expensive transforms.
+
+    Per step, the volumes that drew the transform (Bernoulli per volume,
+    SAME key derivation as augment_volume, so outputs are bit-identical to
+    mode='vmap') are argsort-compacted to the front and only a fixed
+    `_compact_cap` prefix runs the transform — row gathers/scatters of whole
+    volumes are contiguous DMA-shaped copies (~0.6 ms per 128 MB), unlike
+    the per-element gathers TPUs hate.  A p=0.2 transform thus costs ~cap/B
+    of its dense cost while keeping full vmap parallelism (the lax.cond
+    'scan' mode serializes volumes and loses on net)."""
+    steps = _steps(cfg)
+    step_keys = jax.vmap(lambda k: jax.random.split(k, len(steps)))(keys)
+    n = flat.shape[0]
+    for s, (prob, fn, expensive) in enumerate(steps):
+        if prob <= 0:
+            continue
+        ks = jax.vmap(jax.random.split)(step_keys[:, s])  # (V, 2) keys
+        k_apply, k_fn = ks[:, 0], ks[:, 1]
+        applied = jax.vmap(lambda k: jax.random.bernoulli(k, prob))(k_apply)
+        cap = _compact_cap(n, prob) if expensive else n
+        if cap >= n:
+            out = jax.vmap(fn)(k_fn, flat)
+            flat = jnp.where(applied[:, None, None, None], out, flat)
+        else:
+            order = jnp.argsort(jnp.logical_not(applied))  # selected first
+            sel = order[:cap]
+            sub = flat[sel]
+            out_sub = jax.vmap(fn)(k_fn[sel], sub)
+            merged = jnp.where(applied[sel][:, None, None, None], out_sub, sub)
+            flat = flat.at[sel].set(merged)
+    return flat
+
+
 def augment_batch(key: jax.Array, imgs: jax.Array,
                   cfg: AugmentConfig = AugmentConfig(),
-                  mode: str = "vmap") -> jax.Array:
+                  mode: str = "compact") -> jax.Array:
     """Augment a (B, M, C, D, H, W) batch; independent randomness per
     (batch, modality) volume, matching the reference's per-modality
     transform calls (dataset_ucsf.py:150-155).
 
+    mode='compact' (default): batch-stepped vmap with compaction-gating of
+    the expensive p<1 transforms (see _augment_batch_compact) — bit-identical
+    outputs to 'vmap' (same key derivation) at ~cap/B of the cost for the
+    gated steps.
     mode='vmap': one fused SIMD program over all volumes; every transform
     executes for every volume and jnp.where selects — maximal parallelism,
     5× the expected-value FLOPs for the p=0.2 transforms.
@@ -429,9 +487,11 @@ def augment_batch(key: jax.Array, imgs: jax.Array,
     fuses the two lowerings differently).
 
     Measured on v5e, batch 8×3 volumes of (128,128,64), lu affine backend:
-    vmap 61 ms, scan 106 ms — with the gather-free affine nothing left is
-    expensive enough for cond gating to beat vmap's parallelism, so 'vmap'
-    is the default.  (With the 'exact' affine backend the ordering flips
+    vmap 61 ms, scan 106 ms — cond gating under lax.map serializes volumes
+    and loses to vmap's parallelism; compaction gating keeps the
+    parallelism AND most of the expected-value saving (batch 32×2: vmap
+    153 ms → compact 98 ms; ~6 ms gather/scatter overhead per gated step
+    eats the rest).  (With the 'exact' affine backend the ordering flips
     hard: vmap 3368 ms, scan ~500 ms — gathers are that bad on TPU.)"""
     B, M, C, D, H, W = imgs.shape
     flat = imgs.reshape(B * M * C, D, H, W)
@@ -440,6 +500,8 @@ def augment_batch(key: jax.Array, imgs: jax.Array,
         out = jax.lax.map(
             lambda kv: augment_volume(kv[0], kv[1], cfg, use_cond=True),
             (keys, flat))
+    elif mode == "compact":
+        out = _augment_batch_compact(keys, flat, cfg)
     else:
         out = jax.vmap(lambda k, v: augment_volume(k, v, cfg))(keys, flat)
     return out.reshape(imgs.shape)

@@ -99,12 +99,34 @@ def _tie_key(key: jax.Array, x: jax.Array):
     return jax.random.wrap_key_data(kd), x
 
 
+# PRNG implementation for dropout masks.  "rbg" rides the TPU's hardware
+# RngBitGenerator — measured 2× faster than threefry at config-4 scale
+# (36 full-width masks of (32,1025,1024): 32.6 ms → 16.5 ms on v5e).  Mask
+# bit-patterns carry no parity contract (the reference's torch RNG differs
+# bitwise anyway) and stay deterministic per (key, shape) within a given
+# jax/backend version.  Set to None to generate bits with the key's own
+# (threefry) impl.
+DROPOUT_RNG_IMPL: str | None = "rbg"
+
+
+def _mask_key(key: jax.Array) -> jax.Array:
+    """Re-wrap a threefry key's data as a DROPOUT_RNG_IMPL key (rbg keys are
+    four uint32 words; duplicating the 2-word threefry data keeps the mapping
+    deterministic and collision-free across fold_in counters)."""
+    if DROPOUT_RNG_IMPL is None:
+        return key
+    kd = jax.random.key_data(key)
+    if DROPOUT_RNG_IMPL == "rbg" and kd.shape[-1] == 2:
+        kd = jnp.concatenate([kd, kd], axis=-1)
+    return jax.random.wrap_key_data(kd, impl=DROPOUT_RNG_IMPL)
+
+
 def dropout(x: jax.Array, rate: float, rng: RngStream, train: bool) -> jax.Array:
     if not train or rate == 0.0:
         return x
     keep = 1.0 - rate
     key, x = _tie_key(rng(), x)
-    mask = jax.random.bernoulli(key, keep, x.shape)
+    mask = jax.random.bernoulli(_mask_key(key), keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 
@@ -115,7 +137,7 @@ def stochastic_depth_row(x: jax.Array, rate: float, rng: RngStream, train: bool)
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     key, x = _tie_key(rng(), x)
-    mask = jax.random.bernoulli(key, keep, shape)
+    mask = jax.random.bernoulli(_mask_key(key), keep, shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

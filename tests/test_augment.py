@@ -204,3 +204,15 @@ def test_affine_lu_identity_draw_is_exact():
     v = vol((16, 16, 8), seed=9)
     out = np.asarray(_affine_lu(cfg)(jax.random.key(0), jnp.asarray(v)))
     np.testing.assert_array_equal(out, v)
+
+
+def test_compact_mode_matches_vmap():
+    """Compaction-gating must be bit-identical to the dense vmap pipeline
+    (same key derivation; only the schedule differs).  48 volumes ensures
+    the p=0.2 caps (~19) actually engage compaction."""
+    rng = np.random.default_rng(11)
+    imgs = rng.normal(size=(24, 2, 1, 16, 16, 8)).astype(np.float32)
+    key = jax.random.key(9)
+    dense = np.asarray(augment_batch(key, jnp.asarray(imgs), mode="vmap"))
+    compact = np.asarray(augment_batch(key, jnp.asarray(imgs), mode="compact"))
+    np.testing.assert_array_equal(compact, dense)
