@@ -160,7 +160,8 @@ def config3():
     import numpy as np
 
     from cross_attention_vit_tpu.data.dataset import BrainDataset
-    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.data.loader import (PrefetchLoader,
+                                                     transfer_dtype_for)
     from cross_attention_vit_tpu.models import model_cross
 
     types = ("T1", "T1c", "T2", "FLAIR")
@@ -174,7 +175,8 @@ def config3():
     fwd = jax.jit(lambda p, x: model_cross.apply(p, cfg, x, train=False))
     ds = BrainDataset(df, cfg, types=types, is_train=False, folder=UCSF,
                       cache=False)
-    loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3)
+    loader = PrefetchLoader(ds, batch_size=6, num_workers=8, prefetch=3,
+                            transfer_dtype=transfer_dtype_for(cfg))
     for imgs, _ in loader(np.arange(6)):  # warmup: compile + touch files
         _sync(fwd(params, imgs))
     rates = []
