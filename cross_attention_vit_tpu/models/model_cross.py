@@ -171,7 +171,9 @@ def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
                            impl)
 
     if remat:
-        blk_fn = jax.checkpoint(blk_fn)
+        from ..ops.layers import remat_wrap
+
+        blk_fn = remat_wrap(blk_fn, config)
 
     attn = []
     for m, x in enumerate(streams):

@@ -98,7 +98,9 @@ def apply(params: dict, config: Config, img: jax.Array,
         return x
 
     if config.get("remat", False):
-        layer_fn = jax.checkpoint(layer_fn)
+        from ..ops.layers import remat_wrap
+
+        layer_fn = remat_wrap(layer_fn, config)
 
     for layer in params["layers"]:
         x = layer_fn(layer, x, rngs() if train else jax.random.key(0))

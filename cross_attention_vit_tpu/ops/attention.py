@@ -72,6 +72,13 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
         out = flash_attention(q, k, v, scale)
     else:
         out = _sdpa(q, k, v, scale)
+    # Named for selective rematerialization: saving the attention output
+    # (config remat_policy='save_attn') lets the backward-pass recompute skip
+    # the SDPA kernel — the most expensive op in the layer — at the cost of
+    # one (B, N, H)-sized residual per layer (67 MB bf16 at batch 32).
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_out")
 
     out_k = params["out"]["kernel"].astype(out.dtype)
     y = jnp.einsum("bknd,kdh->bnh", out, out_k,
