@@ -216,3 +216,25 @@ def test_compact_mode_matches_vmap():
     dense = np.asarray(augment_batch(key, jnp.asarray(imgs), mode="vmap"))
     compact = np.asarray(augment_batch(key, jnp.asarray(imgs), mode="compact"))
     np.testing.assert_array_equal(compact, dense)
+
+
+def test_compact_overflow_keeps_untransformed(monkeypatch):
+    """If more volumes draw a gated transform than the cap admits (P<1e-9
+    live; forced here), the overflow volumes must keep their original values
+    rather than corrupt — and the in-cap volumes still transform."""
+    from cross_attention_vit_tpu.data import augment as A
+
+    # all-flip config off; only affine can fire, and it always fires
+    cfg = AugmentConfig(flip_prob=0, rot90_prob=0, affine_prob=1.0,
+                        contrast_prob=0, noise_prob=0, smooth_prob=0,
+                        shuffle_prob=0, dropout_prob=0, zoom_prob=0)
+    monkeypatch.setattr(A, "_compact_cap", lambda n, p: 3)  # force overflow
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(8, 1, 1, 16, 16, 8)).astype(np.float32)
+    key = jax.random.key(2)
+    out = np.asarray(augment_batch(key, jnp.asarray(imgs), cfg, mode="compact"))
+    changed = [not np.array_equal(out[i], imgs[i]) for i in range(8)]
+    assert sum(changed) == 3          # exactly cap volumes transformed
+    for i in range(8):                # overflow volumes intact, not garbage
+        if not changed[i]:
+            np.testing.assert_array_equal(out[i], imgs[i])
