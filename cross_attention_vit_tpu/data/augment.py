@@ -246,6 +246,46 @@ def _affine_lu(cfg: AugmentConfig):
     return f
 
 
+def _affine_lu_batched(cfg: AugmentConfig):
+    """Batched LU affine over (V, D, H, W) volumes via the Pallas windowed
+    resample kernel (kernels/resample.py) — same warp sequence, matrices and
+    tap math as _affine_lu, but each pass reads HBM once instead of staging
+    ~2K+2 shifted copies (XLA's lowering is tap-count-independent ~12 ms per
+    pass at 33 volumes; the kernel is VMEM-resident).  Key-per-volume
+    derivation matches the per-volume path exactly."""
+    from ..kernels.resample import resample_axis_windowed_batched as _rs
+
+    def f(keys: jax.Array, vols: jax.Array) -> jax.Array:
+        shape = vols.shape[1:]
+        center = tuple((s - 1) / 2.0 for s in shape)
+        l_wins, u_wins = _lu_windows(cfg, shape)
+        m = jax.vmap(lambda k: _affine_matrix(cfg, k))(keys)  # (V, 3, 3)
+
+        l10, l20 = m[:, 1, 0] / m[:, 0, 0], m[:, 2, 0] / m[:, 0, 0]
+        u11 = m[:, 1, 1] - l10 * m[:, 0, 1]
+        u12 = m[:, 1, 2] - l10 * m[:, 0, 2]
+        l21 = (m[:, 2, 1] - l20 * m[:, 0, 1]) / u11
+        u22 = m[:, 2, 2] - l20 * m[:, 0, 2] - l21 * u12
+        one = jnp.ones_like(l10)
+        zero = jnp.zeros_like(l10)
+
+        def cd(c0, c1, c2, axis):
+            e = jnp.zeros((3,), jnp.float32).at[axis].set(1.0)
+            return jnp.stack([c0, c1, c2], axis=-1) - e
+
+        out = vols
+        # L warp: axes 1 then 2; U warp: axes 2, 1, 0 (as _affine_lu)
+        out = _rs(out, 1, cd(l10, one, zero, 1), center, l_wins[1])
+        out = _rs(out, 2, cd(l20, l21, one, 2), center, l_wins[2])
+        out = _rs(out, 2, cd(zero, zero, u22, 2), center, u_wins[2])
+        out = _rs(out, 1, cd(zero, u11, u12, 1), center, u_wins[1])
+        out = _rs(out, 0, cd(m[:, 0, 0], m[:, 0, 1], m[:, 0, 2], 0), center,
+                  u_wins[0])
+        return out
+
+    return f
+
+
 def _zoom_matrix(size: int, z) -> jax.Array:
     """1-D linear-interpolation matrix A (size, size) for keep-size zoom by
     traced factor z about the center, edge-clamped ('nearest' boundary):
@@ -392,8 +432,14 @@ def _steps(cfg: AugmentConfig) -> list:
     `expensive` marks transforms worth compaction-gating in batch mode —
     measured per-step cost at 64×(128,128,64) volumes on v5e: affine_lu
     88 ms, coarse_shuffle 41 ms, smooth 12 ms, zoom 6 ms vs ≤5 ms for the
-    rest (whose gather/scatter overhead would eat the gain)."""
-    affine = _affine_lu(cfg) if cfg.affine_backend == "lu" else _affine(cfg)
+    rest (whose gather/scatter overhead would eat the gain).  The lu affine
+    additionally carries a `.batched` implementation (Pallas kernel) the
+    batch pipeline prefers over vmap-of-per-volume."""
+    if cfg.affine_backend == "lu":
+        affine = _affine_lu(cfg)
+        affine.batched = _affine_lu_batched(cfg)
+    else:
+        affine = _affine(cfg)
     return [
         (cfg.flip_prob, _flip0, False),
         (cfg.rot90_prob, _rot90, False),
@@ -433,7 +479,7 @@ def _compact_cap(n_volumes: int, prob: float) -> int:
 
 
 def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
-                           cfg: AugmentConfig) -> jax.Array:
+                           cfg: AugmentConfig, gate: bool = True) -> jax.Array:
     """Batch-stepped pipeline with compaction-gating of expensive transforms.
 
     Per step, the volumes that drew the transform (Bernoulli per volume,
@@ -453,15 +499,22 @@ def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
         ks = jax.vmap(jax.random.split)(step_keys[:, s])  # (V, 2) keys
         k_apply, k_fn = ks[:, 0], ks[:, 1]
         applied = jax.vmap(lambda k: jax.random.bernoulli(k, prob))(k_apply)
-        cap = _compact_cap(n, prob) if expensive else n
+        batched = getattr(fn, "batched", None)
+
+        def run(sub_keys, sub_vols):
+            if batched is not None:
+                return batched(sub_keys, sub_vols)
+            return jax.vmap(fn)(sub_keys, sub_vols)
+
+        cap = _compact_cap(n, prob) if (gate and expensive) else n
         if cap >= n:
-            out = jax.vmap(fn)(k_fn, flat)
+            out = run(k_fn, flat)
             flat = jnp.where(applied[:, None, None, None], out, flat)
         else:
             order = jnp.argsort(jnp.logical_not(applied))  # selected first
             sel = order[:cap]
             sub = flat[sel]
-            out_sub = jax.vmap(fn)(k_fn[sel], sub)
+            out_sub = run(k_fn[sel], sub)
             merged = jnp.where(applied[sel][:, None, None, None], out_sub, sub)
             flat = flat.at[sel].set(merged)
     return flat
@@ -503,5 +556,7 @@ def augment_batch(key: jax.Array, imgs: jax.Array,
     elif mode == "compact":
         out = _augment_batch_compact(keys, flat, cfg)
     else:
-        out = jax.vmap(lambda k, v: augment_volume(k, v, cfg))(keys, flat)
+        # dense batch-stepped pipeline (gating off) — same kernels and key
+        # derivation as 'compact', so the two stay bit-identical
+        out = _augment_batch_compact(keys, flat, cfg, gate=False)
     return out.reshape(imgs.shape)

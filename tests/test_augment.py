@@ -238,3 +238,19 @@ def test_compact_overflow_keeps_untransformed(monkeypatch):
     for i in range(8):                # overflow volumes intact, not garbage
         if not changed[i]:
             np.testing.assert_array_equal(out[i], imgs[i])
+
+
+def test_pallas_batched_affine_matches_per_volume():
+    """The batched Pallas windowed-resample affine must match the per-volume
+    XLA tap formulation (same matrices, warps, and tap order; float-level
+    tolerance for fusion differences)."""
+    from cross_attention_vit_tpu.data.augment import (_affine_lu,
+                                                      _affine_lu_batched)
+
+    cfg = AugmentConfig()
+    rng = np.random.default_rng(17)
+    vols = jnp.asarray(rng.normal(size=(5, 16, 16, 8)).astype(np.float32))
+    keys = jax.random.split(jax.random.key(21), 5)
+    got = np.asarray(_affine_lu_batched(cfg)(keys, vols))
+    want = np.asarray(jax.vmap(lambda k, v: _affine_lu(cfg)(k, v))(keys, vols))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
