@@ -216,12 +216,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         ds = P ⊙ (dO vᵀ − rowsum(dO ⊙ O)) · scale
         dq = ds k,   dk = dsᵀ q
     All (N̂, N̂) intermediates live in VMEM; at N=520 that is ~4 MB of
-    scratch, well inside budget."""
+    scratch, well inside budget.
+
+    Matmul operands stay in the INPUT dtype (bf16 for training) with f32
+    accumulation — the MXU runs f32×f32 at a fraction of its bf16 rate, and
+    bf16 operands match both the forward kernel (which feeds the MXU bf16
+    and casts P to v.dtype before AV) and XLA's own backward of the bf16
+    einsum formulation.  Softmax and the ds elementwise algebra stay f32."""
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32)
-    k = k_ref[0, 0].astype(f32)
-    v = v_ref[0, 0].astype(f32)
-    do = do_ref[0, 0].astype(f32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
     s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=f32) * scale
@@ -230,16 +236,18 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
+    pb = p.astype(v.dtype)
 
-    o = jnp.dot(p, v, preferred_element_type=f32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)          # (N̂, 1)
-    dv = jax.lax.dot_general(p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+    o = jnp.dot(pb, v, preferred_element_type=f32)
+    delta = jnp.sum(do.astype(f32) * o, axis=-1, keepdims=True)  # (N̂, 1)
+    dv = jax.lax.dot_general(pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=f32)       # Pᵀ dO
     dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32)       # dO vᵀ
     ds = p * (dp - delta) * scale
-    dq = jnp.dot(ds, k, preferred_element_type=f32)
-    dk = jax.lax.dot_general(ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+    dsb = ds.astype(v.dtype)
+    dq = jnp.dot(dsb, k, preferred_element_type=f32)
+    dk = jax.lax.dot_general(dsb, q, dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=f32)       # dsᵀ q
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
@@ -295,10 +303,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_acc[...] = jnp.zeros(dv_acc.shape, jnp.float32)
 
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32)            # (BQ, D̂)
-    kb = k_ref[0, 0].astype(f32)           # (BKV, D̂)
-    vb = v_ref[0, 0].astype(f32)
-    do = do_ref[0, 0].astype(f32)
+    q = q_ref[0, 0]                        # (BQ, D̂) — input dtype on the MXU
+    kb = k_ref[0, 0]                       # (BKV, D̂)
+    vb = v_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]             # (BQ, 1)
     delta = delta_ref[0, 0][:, :1]
 
@@ -307,15 +315,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jkv * block_kv
     s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jnp.exp(s - lse)                   # exact softmax rows via saved lse
+    pb = p.astype(vb.dtype)
 
     dv_acc[...] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32)        # Pᵀ dO
     dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
     ds = p * (dp - delta) * scale
     dk_acc[...] += jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds.astype(vb.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32)        # dsᵀ q
 
     @pl.when(i == n_q - 1)
@@ -336,10 +345,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_acc[...] = jnp.zeros(dq_acc.shape, jnp.float32)
 
     f32 = jnp.float32
-    q = q_ref[0, 0].astype(f32)
-    kb = k_ref[0, 0].astype(f32)
-    vb = v_ref[0, 0].astype(f32)
-    do = do_ref[0, 0].astype(f32)
+    q = q_ref[0, 0]                        # input dtype on the MXU
+    kb = k_ref[0, 0]
+    vb = v_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0][:, :1]
     delta = delta_ref[0, 0][:, :1]
 
@@ -351,7 +360,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32)
     ds = p * (dp - delta) * scale
-    dq_acc[...] += jnp.dot(ds, kb, preferred_element_type=f32)
+    dq_acc[...] += jnp.dot(ds.astype(vb.dtype), kb,
+                           preferred_element_type=f32)
 
     @pl.when(j == n_kv - 1)
     def _done():
