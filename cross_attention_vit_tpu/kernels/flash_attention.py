@@ -94,9 +94,9 @@ def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[...] = jnp.zeros(l_ref.shape, jnp.float32)
         acc_ref[...] = jnp.zeros(acc_ref.shape, jnp.float32)
 
-    q = q_ref[0, 0].astype(jnp.float32)   # (BQ, D̂)
-    kb = k_ref[0, 0].astype(jnp.float32)  # (BKV, D̂)
-    vb = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]                       # (BQ, D̂) — input dtype on the MXU
+    kb = k_ref[0, 0]                      # (BKV, D̂)
+    vb = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # (BQ, BKV)
@@ -110,7 +110,7 @@ def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p, vb, preferred_element_type=jnp.float32)
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
