@@ -167,6 +167,12 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
         )(q, k, v)
         return out[:, :, :N, :D]
 
+    # n_pad is rounded to _BLOCK_Q; a KV block size that doesn't also divide
+    # it would silently truncate the key range (the grid below floors) —
+    # observed during block-size tuning as a wrong checksum, not an error.
+    assert n_pad % _BLOCK_KV == 0, (
+        f"_BLOCK_KV={_BLOCK_KV} must divide n_pad={n_pad} "
+        f"(= N rounded up to _BLOCK_Q={_BLOCK_Q}) or keys are dropped")
     grid = (B, K, n_pad // _BLOCK_Q, n_pad // _BLOCK_KV)
     q_spec = pl.BlockSpec((1, 1, _BLOCK_Q, d_pad),
                           lambda b, h, i, j: (b, h, i, 0),
