@@ -27,7 +27,10 @@ jax.image on host numpy.
 from __future__ import annotations
 
 import json
+import os
 import re
+import tempfile
+import threading
 from pathlib import Path
 from typing import Sequence
 
@@ -98,6 +101,8 @@ class RSNADataset:
         self.cache_path = Path(cache_file) if cache_file else \
             self.folder / f"biggest_{mri_type}.json"
         self._biggest: dict[str, int] | None = None
+        # serializes first-touch scanning and cache IO across loader threads
+        self._biggest_lock = threading.Lock()
 
     def _case_dir(self, case_id: str) -> Path:
         return self.folder / str(case_id) / self.mri_type
@@ -119,23 +124,42 @@ class RSNADataset:
             return len(areas) // 2
         return int(np.argmax(areas))
 
-    def prepare_biggest_images(self) -> dict[str, int]:
-        """Per case, index of the slice with maximal cropped brain area;
-        cached to JSON (dataset.py:122-152)."""
-        if self._biggest is not None:
-            return self._biggest
-        if self.cache_path.exists():
-            self._biggest = json.loads(self.cache_path.read_text())
-            return self._biggest
-        biggest = {case_id: self._scan_biggest(case_id)
-                   for case_id in self.data["ID"].astype(str)}
+    def _write_cache_atomic(self, biggest: dict[str, int]) -> None:
+        """Atomic publish (tempfile + rename): PrefetchLoader decodes items on
+        parallel threads and split datasets share one cache file, so a plain
+        write_text can be read half-written by a concurrent reader
+        (observed as JSONDecodeError in the loader)."""
         try:
             self.cache_path.parent.mkdir(parents=True, exist_ok=True)
-            self.cache_path.write_text(json.dumps(biggest))
+            fd, tmp = tempfile.mkstemp(suffix=".tmp.json",
+                                       dir=self.cache_path.parent)
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(biggest))
+            os.replace(tmp, self.cache_path)
         except OSError:
             pass  # read-only data folder: keep in memory only
-        self._biggest = biggest
-        return biggest
+
+    def prepare_biggest_images(self) -> dict[str, int]:
+        """Per case, index of the slice with maximal cropped brain area;
+        cached to JSON (dataset.py:122-152).  First touch is serialized per
+        instance; a torn/corrupt cache file from a crashed writer is
+        rescanned rather than crashing."""
+        if self._biggest is not None:
+            return self._biggest
+        with self._biggest_lock:
+            if self._biggest is not None:
+                return self._biggest
+            if self.cache_path.exists():
+                try:
+                    self._biggest = json.loads(self.cache_path.read_text())
+                    return self._biggest
+                except (json.JSONDecodeError, OSError):
+                    pass  # torn cache: fall through and rebuild
+            biggest = {case_id: self._scan_biggest(case_id)
+                       for case_id in self.data["ID"].astype(str)}
+            self._write_cache_atomic(biggest)
+            self._biggest = biggest
+            return biggest
 
     def _biggest_for(self, case_id: str) -> int:
         """Cache lookup with compute-on-miss: split datasets share one cache
@@ -143,11 +167,10 @@ class RSNADataset:
         different split) is scanned and appended on demand."""
         biggest = self.prepare_biggest_images()
         if case_id not in biggest:
-            biggest[case_id] = self._scan_biggest(case_id)
-            try:
-                self.cache_path.write_text(json.dumps(biggest))
-            except OSError:
-                pass
+            with self._biggest_lock:
+                if case_id not in biggest:
+                    biggest[case_id] = self._scan_biggest(case_id)
+                    self._write_cache_atomic(biggest)
         return biggest[case_id]
 
     def load_volume(self, case_id: str) -> np.ndarray:
