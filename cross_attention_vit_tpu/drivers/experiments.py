@@ -76,10 +76,14 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
                                    monitor="val_loss", save_top_k=10,
                                    mode="min", tag=run_name, async_write=True,
                                    config=cur_config)
+    latest = LatestCheckpointer(out / "latest" / run_name, async_write=True)
+    # resume intent == a rolling checkpoint exists for this run name; only
+    # then does the CSV logger inherit prior rows (a fresh run reusing the
+    # dir starts a fresh metrics.csv)
+    resuming = latest.latest_step() is not None
     logger = MultiLogger(
         TensorBoardLogger(out / "lightning_logs" / "cross", run_name),
-        CSVLogger(out / "csv_logs" / "cross", run_name))
-    latest = LatestCheckpointer(out / "latest" / run_name, async_write=True)
+        CSVLogger(out / "csv_logs" / "cross", run_name, resume=resuming))
 
     sampler = WeightedRandomSampler(
         create_sampler_weights(train_df, cur_config.target),

@@ -96,6 +96,11 @@ def resample_axis_windowed_batched(vols: jax.Array, axis: int,
     Grid is (V, blocks) over one non-`axis` dimension so a padded tile plus
     accumulator stay well under VMEM (~3 MB at the live geometry)."""
     V, D, H, W = vols.shape
+    # the kernel accumulates and stores in f32 (out_ref[0] = acc_ref[...]);
+    # enforce the dtype contract here rather than emit a mismatched Mosaic
+    # store for bf16/f16 callers
+    in_dtype = vols.dtype
+    vols = vols.astype(jnp.float32)
     pad = [(0, 0)] * 4
     pad[1 + axis] = (window, window + 1)
     padded = jnp.pad(vols, pad, mode="symmetric")
@@ -143,4 +148,4 @@ def resample_axis_windowed_batched(vols: jax.Array, axis: int,
             transcendentals=0),
         interpret=_interpret(),
     )(cdelta.astype(jnp.float32), padded)
-    return out
+    return out.astype(in_dtype)

@@ -8,21 +8,29 @@ otherwise (the environment contract forbids installing new deps).
 from __future__ import annotations
 
 import csv
+import os
+import tempfile
 from pathlib import Path
 
 
 class CSVLogger:
-    """One metrics.csv per run: columns grow as new metric names appear."""
+    """One metrics.csv per run: columns grow as new metric names appear.
 
-    def __init__(self, save_dir: str | Path, name: str):
+    resume=True loads a pre-existing metrics.csv so a preemption-resumed run
+    keeps its pre-kill history (a replayed epoch re-logs and replaces its
+    row).  The default (False) starts fresh — a new run pointed at a
+    previously-used dir must not silently inherit another run's rows.
+    Every rewrite goes through a temp file + atomic rename so a kill
+    mid-write can never tear the file (the r02 flagship run lost epochs 0-1
+    to an in-place rewrite interrupted by SIGKILL)."""
+
+    def __init__(self, save_dir: str | Path, name: str, resume: bool = False):
         self.dir = Path(save_dir) / name
         self.dir.mkdir(parents=True, exist_ok=True)
         self.path = self.dir / "metrics.csv"
         self._rows: list[dict] = []
         self._fields: list[str] = ["epoch"]
-        if self.path.exists():
-            # resumed run: keep the pre-preemption history instead of
-            # overwriting it (a resumed epoch re-logs and replaces its row)
+        if resume and self.path.exists():
             with open(self.path, newline="") as f:
                 for row in csv.DictReader(f):
                     parsed = {k: (int(v) if k == "epoch" else float(v))
@@ -40,10 +48,12 @@ class CSVLogger:
         self._rows = [r for r in self._rows if r.get("epoch") != epoch]
         self._rows.append(row)
         self._rows.sort(key=lambda r: r.get("epoch", 0))
-        with open(self.path, "w", newline="") as f:
+        fd, tmp = tempfile.mkstemp(suffix=".tmp.csv", dir=self.dir)
+        with os.fdopen(fd, "w", newline="") as f:
             w = csv.DictWriter(f, fieldnames=self._fields)
             w.writeheader()
             w.writerows(self._rows)
+        os.replace(tmp, self.path)
 
     def finalize(self) -> None:
         pass

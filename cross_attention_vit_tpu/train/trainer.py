@@ -33,6 +33,44 @@ from .metrics import MetricAccumulator, confusion_counts
 from .schedule import cosine_annealing_lr
 
 
+class EarlyStopping:
+    """Stop training after `patience` epochs without improvement on a
+    monitored metric — the capability the reference gestures at twice but
+    never enables (Lightning EarlyStopping commented at main_mist.py:36-42;
+    manual patience loop commented at other_model.py:268-283).  Off by
+    default; semantics follow the Lightning callback the reference imports:
+    an epoch counts as improved when the metric beats the best seen by more
+    than `min_delta` in the `mode` direction."""
+
+    def __init__(self, monitor: str = "val_loss", min_delta: float = 0.0,
+                 patience: int = 25, mode: str = "min", verbose: bool = False):
+        if mode not in ("min", "max"):
+            raise ValueError(f"mode must be 'min' or 'max', got {mode!r}")
+        self.monitor = monitor
+        self.min_delta = min_delta
+        self.patience = patience
+        self.mode = mode
+        self.verbose = verbose
+        self.best = float("inf") if mode == "min" else float("-inf")
+        self.num_bad = 0
+
+    def step(self, metric: float) -> bool:
+        """Record one epoch's monitored value; returns True → stop now."""
+        improved = (metric < self.best - self.min_delta if self.mode == "min"
+                    else metric > self.best + self.min_delta)
+        if improved:
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad >= self.patience:
+            if self.verbose:
+                print(f"EarlyStopping: {self.monitor} did not improve for "
+                      f"{self.patience} epochs (best {self.best:.4f})")
+            return True
+        return False
+
+
 def _replicate_aux(aux: dict, mesh) -> dict:
     """Constrain the per-step metric outputs to a fully-replicated layout.
 
@@ -116,6 +154,9 @@ def make_stateful_train_step(model_apply, config: Config, donate: bool = True,
     img_aug = bool(config.get("img_aug", False))
 
     def step(params, model_state, opt_state, img, labels, lr, rng):
+        from ..ops.layers import promote_input
+
+        img = promote_input(img)  # bf16/f16 H2D transfers; f32 math below
         if img_aug:
             from ..data.augment import augment_batch
 
@@ -167,7 +208,7 @@ class Trainer:
                  data_sharding=None, log_every_epochs: int = 1,
                  stateful: bool = False, schedule: str = "cosine",
                  latest_every: int = 1, checkpoint_monitor: str = "val_loss",
-                 mesh=None):
+                 mesh=None, early_stopping: EarlyStopping | None = None):
         """stateful: model carries mutable state (BatchNorm families) —
         init returns (params, state), apply takes/returns state.
         schedule: 'cosine' (model_cross/model_vit contract) or 'plateau'
@@ -197,6 +238,7 @@ class Trainer:
         # which history key gates top-k checkpoints: val_loss for the live
         # driver (main_mist.py:176), train_loss for the stale one (main.py:28)
         self.checkpoint_monitor = checkpoint_monitor
+        self.early_stopping = early_stopping
 
         if schedule == "cosine":
             self.lr_fn = cosine_annealing_lr(
@@ -265,6 +307,13 @@ class Trainer:
                 "best": jnp.asarray(self.plateau.best, jnp.float32),
                 "num_bad": jnp.asarray(self.plateau.num_bad, jnp.int32),
             }
+        if self.early_stopping is not None:
+            # same rationale as the plateau state: a resumed run must not
+            # restart the patience counter
+            state["early_stop"] = {
+                "best": jnp.asarray(self.early_stopping.best, jnp.float32),
+                "num_bad": jnp.asarray(self.early_stopping.num_bad, jnp.int32),
+            }
         return state
 
     def maybe_resume(self):
@@ -295,6 +344,9 @@ class Trainer:
             self.plateau.lr = float(state["plateau"]["lr"])
             self.plateau.best = float(state["plateau"]["best"])
             self.plateau.num_bad = int(state["plateau"]["num_bad"])
+        if self.early_stopping is not None and "early_stop" in state:
+            self.early_stopping.best = float(state["early_stop"]["best"])
+            self.early_stopping.num_bad = int(state["early_stop"]["num_bad"])
         self.global_step = step
         return int(state["epoch"]) + 1
 
@@ -389,9 +441,13 @@ class Trainer:
 
             if self.plateau is not None:
                 self.plateau.step(row["val_loss"])
+            # step the patience counter BEFORE the checkpoint snapshot (like
+            # plateau) so a resumed run doesn't lose this epoch's tick
+            stop = (self.early_stopping is not None and
+                    self.early_stopping.step(row[self.early_stopping.monitor]))
             want_latest = self.latest is not None and (
                 epoch % self.latest_every == self.latest_every - 1
-                or epoch == self.max_epochs - 1)
+                or epoch == self.max_epochs - 1 or stop)
             if self.checkpoint is not None or want_latest:
                 # fetch the state to host ONCE per epoch — a full-size
                 # device_get is ~3 GB over the host link, and both managers
@@ -411,6 +467,8 @@ class Trainer:
                       f"val_loss {row['val_loss']:.4f}  "
                       f"val_acc {row['val_acc']:.3f}  "
                       f"({row['epoch_time_s']:.1f}s)")
+            if stop:
+                break
         self.logger.finalize()
         from .checkpoint import wait_for_writes
 

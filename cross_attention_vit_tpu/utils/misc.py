@@ -30,8 +30,10 @@ def enable_compilation_cache(cache_dir: str,
 
 
 def accum_tensor(t1, t2, func) -> float:
-    """sum(func(a, b) for paired scalars a, b) — vectorized equivalent of the
-    reference's recursion (which is O(n) Python frames; this is one pass)."""
+    """sum(func(a, b) for paired scalars a, b) — a flat iteration replacing
+    the reference's nested recursion (utils.py:6-14, O(n) Python frames).
+    `func` is an arbitrary Python callable on scalars, so the fold stays a
+    host loop; it is not vectorized."""
     a = np.asarray(t1).ravel()
     b = np.asarray(t2).ravel()
     if a.shape != b.shape:

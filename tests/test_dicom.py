@@ -69,9 +69,9 @@ def test_crop_img_bbox():
     assert crop_img(z).shape == (4, 4)
 
 
-def _make_case(tmp_path, case_id, n_slices=9, peak=5):
+def _make_case(tmp_path, case_id, n_slices=9, peak=5, mri_type="FLAIR"):
     """Synthetic series: centered blob whose radius peaks at slice `peak`."""
-    d = tmp_path / case_id / "FLAIR"
+    d = tmp_path / case_id / mri_type
     d.mkdir(parents=True)
     for i in range(n_slices):
         px = np.zeros((40, 40), np.uint16)
@@ -121,3 +121,89 @@ def test_rsna_missing_case_raises(tmp_path):
     ds = RSNADataset(df, folder=tmp_path)
     with pytest.raises(FileNotFoundError):
         ds[0]
+
+
+def test_rsna_multi_type_stacking_and_filter(tmp_path):
+    """Multi-type mode: per-case (M, 1, size, size, num_imgs) stacking and
+    the availability filter (reference dataset.py:84-100, 163-190)."""
+    _make_case(tmp_path, "00001", peak=5, mri_type="FLAIR")
+    _make_case(tmp_path, "00001", peak=3, mri_type="T1w")
+    _make_case(tmp_path, "00002", peak=2, mri_type="FLAIR")  # T1w missing
+    df = pd.DataFrame({"ID": ["00001", "00002"], "MGMT_value": [1, 0]})
+    ds = RSNADataset(df, mri_types=("FLAIR", "T1w"), folder=tmp_path,
+                     num_imgs=4, size=64)
+    # 00002 dropped up front: missing T1w dir (reference clean_data semantics)
+    assert len(ds) == 1
+    vol, label = ds[0]
+    assert vol.shape == (2, 1, 64, 64, 4)
+    assert label == 1
+
+    # each stream bit-matches the single-type dataset's volume for its type
+    for m, t in enumerate(("FLAIR", "T1w")):
+        ds_t = RSNADataset(df, mri_type=t, folder=tmp_path, num_imgs=4,
+                           size=64, filter_missing=False)
+        v_t, _ = ds_t[0]
+        np.testing.assert_array_equal(vol[m:m + 1], v_t)
+
+    # per-type biggest-slice caches, single-type format each
+    import json
+    assert json.loads((tmp_path / "biggest_FLAIR.json").read_text())["00001"] == 5
+    assert json.loads((tmp_path / "biggest_T1w.json").read_text())["00001"] == 3
+
+    imgs, labels = ds.batch([0])
+    assert imgs.shape == (1, 2, 1, 64, 64, 4)
+
+
+def test_rsna_rotate_indexing(tmp_path):
+    """rotate indexes the reference's rot_choices (dataset.py:204-212):
+    1 = 90° CW, 2 = 90° CCW, 3 = 180°, 0 = none."""
+    from cross_attention_vit_tpu.data.dataset_rsna import _rotate
+
+    img = np.arange(12, dtype=np.float32).reshape(3, 4)
+    np.testing.assert_array_equal(_rotate(img, 0), img)
+    np.testing.assert_array_equal(_rotate(img, 1), np.rot90(img, -1))
+    np.testing.assert_array_equal(_rotate(img, 2), np.rot90(img, 1))
+    np.testing.assert_array_equal(_rotate(img, 3), np.rot90(img, 2))
+    try:  # spell-check the np.rot90 mapping against the cv2 constants
+        import cv2
+        for idx, const in [(1, cv2.ROTATE_90_CLOCKWISE),
+                           (2, cv2.ROTATE_90_COUNTERCLOCKWISE),
+                           (3, cv2.ROTATE_180)]:
+            np.testing.assert_array_equal(_rotate(img, idx),
+                                          cv2.rotate(img, const))
+    except ImportError:
+        pass
+
+    # end-to-end: rotating an asymmetric slice changes the volume; a 180°
+    # rotation of a square slice commutes with resize+normalize
+    case = tmp_path / "00009" / "FLAIR"
+    case.mkdir(parents=True)
+    px = np.zeros((40, 40), np.uint16)
+    px[5:15, 20:35] = 900  # off-center block
+    write_dicom(case / "Image-0.dcm", px, window_center=500, window_width=1200)
+    df = pd.DataFrame({"ID": ["00009"], "MGMT_value": [0]})
+    v0 = RSNADataset(df, folder=tmp_path, num_imgs=2, size=40, rotate=0)[0][0]
+    v3 = RSNADataset(df, folder=tmp_path, num_imgs=2, size=40, rotate=3)[0][0]
+    assert not np.array_equal(v0, v3)
+    np.testing.assert_allclose(v3[0, :, :, 0], np.rot90(v0[0, :, :, 0], 2),
+                               atol=1e-6)
+
+
+def test_rsna_shared_cache_merge(tmp_path):
+    """Two dataset instances over disjoint splits share one cache file: the
+    second append must merge with (not clobber) the first's entries on disk
+    (round-2 advisor finding: per-instance locks allowed lost updates)."""
+    import json
+    _make_case(tmp_path, "00001", peak=5)
+    _make_case(tmp_path, "00002", peak=2)
+    _make_case(tmp_path, "00003", peak=7)
+    df1 = pd.DataFrame({"ID": ["00001"], "MGMT_value": [1]})
+    df2 = pd.DataFrame({"ID": ["00002"], "MGMT_value": [0]})
+    ds1 = RSNADataset(df1, folder=tmp_path, num_imgs=4, size=32)
+    ds2 = RSNADataset(df2, folder=tmp_path, num_imgs=4, size=32)
+    ds1.prepare_biggest_images()        # disk: {00001}
+    ds2.prepare_biggest_images()        # ds2 view: {00001}
+    ds1._biggest_for("00003", "FLAIR")  # disk: {00001, 00003}; ds2 unaware
+    ds2._biggest_for("00002", "FLAIR")  # must merge, not clobber 00003
+    on_disk = json.loads((tmp_path / "biggest_FLAIR.json").read_text())
+    assert on_disk == {"00001": 5, "00002": 2, "00003": 7}

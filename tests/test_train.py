@@ -340,7 +340,8 @@ def test_csv_logger_appends_across_resume(tmp_path):
     lg = CSVLogger(tmp_path, "run")
     lg.log_metrics({"train_loss": 1.0}, 0)
     lg.log_metrics({"train_loss": 0.8}, 1)
-    lg2 = CSVLogger(tmp_path, "run")  # fresh process after preemption
+    # fresh process after preemption: resume intent must be explicit
+    lg2 = CSVLogger(tmp_path, "run", resume=True)
     lg2.log_metrics({"train_loss": 0.8}, 1)  # replayed epoch
     lg2.log_metrics({"train_loss": 0.6, "val_loss": 0.9}, 2)
 
@@ -349,3 +350,88 @@ def test_csv_logger_appends_across_resume(tmp_path):
         rows = list(_csv.DictReader(f))
     assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
     assert float(rows[2]["val_loss"]) == 0.9
+
+
+def test_early_stopping_unit():
+    from cross_attention_vit_tpu.train.trainer import EarlyStopping
+
+    es = EarlyStopping(patience=2, mode="min")
+    assert not es.step(1.0)   # improves (best was inf)
+    assert not es.step(0.5)   # improves
+    assert not es.step(0.6)   # bad 1
+    assert not es.step(0.4)   # improves again → counter resets
+    assert not es.step(0.6)   # bad 1
+    assert es.step(0.5)       # bad 2 → patience reached → stop
+    es3 = EarlyStopping(patience=1, mode="max", min_delta=0.1)
+    es3.step(0.5)
+    assert es3.step(0.55)     # +0.05 < min_delta → not an improvement → stop
+
+
+def test_trainer_early_stopping_halts(tmp_path):
+    """patience on val_loss ends the run early — the capability the reference
+    comments out twice (main_mist.py:36-42, other_model.py:268-283)."""
+    from cross_attention_vit_tpu.data.loader import PrefetchLoader
+    from cross_attention_vit_tpu.models import model_vit
+    from cross_attention_vit_tpu.train.trainer import EarlyStopping, Trainer
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=16, mlp_dim=32, num_heads=2, num_layers=1,
+                            img_size=(8, 8, 8), patch_size=(8, 8, 8),
+                            num_modalities=1, dropout=0.0, lr=1e-3,
+                            weight_decay=0.0, label_smoothing=0.0,
+                            optim_params={"T_max": 10, "eta_min": 1e-6}))
+    rng = np.random.default_rng(3)
+    ds = FakeDataset(rng.normal(size=(4, 1, 1, 8, 8, 8)).astype(np.float32),
+                     np.array([0, 1, 0, 1], dtype=np.int32))
+    loader = PrefetchLoader(ds, batch_size=2)
+    # min_delta so large nothing after epoch 0 ever counts as improvement
+    es = EarlyStopping(monitor="val_loss", patience=2, min_delta=100.0)
+    t = Trainer(model_vit, cfg, max_epochs=20, seed=3, early_stopping=es)
+    hist = t.fit(loader, loader, verbose=False)
+    assert len(hist) == 3  # epoch 0 improves, epochs 1-2 bad → stop
+    # off by default: same config without the callback runs to max_epochs
+    t2 = Trainer(model_vit, cfg, max_epochs=4, seed=3)
+    assert len(t2.fit(loader, loader, verbose=False)) == 4
+
+
+def test_csv_logger_fresh_run_ignores_stale_file(tmp_path):
+    """A NEW run pointed at a previously-used dir must not inherit the old
+    run's rows (round-2 advisor finding)."""
+    from cross_attention_vit_tpu.train.loggers import CSVLogger
+
+    lg = CSVLogger(tmp_path, "run")
+    lg.log_metrics({"train_loss": 1.0}, 0)
+    lg2 = CSVLogger(tmp_path, "run")  # resume NOT requested
+    lg2.log_metrics({"train_loss": 2.0}, 0)
+
+    import csv as _csv
+    with open(tmp_path / "run" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 1 and float(rows[0]["train_loss"]) == 2.0
+
+
+def test_csv_logger_torn_write_leaves_old_file_intact(tmp_path, monkeypatch):
+    """Kill-mid-write simulation: if the process dies between writing the
+    temp file and the atomic rename, the previous metrics.csv survives whole
+    (the r02 flagship artifact lost epochs 0-1 to an in-place rewrite)."""
+    import cross_attention_vit_tpu.train.loggers as loggers_mod
+    from cross_attention_vit_tpu.train.loggers import CSVLogger
+
+    lg = CSVLogger(tmp_path, "run")
+    lg.log_metrics({"train_loss": 1.0}, 0)
+    lg.log_metrics({"train_loss": 0.8}, 1)
+
+    real_replace = loggers_mod.os.replace
+    monkeypatch.setattr(loggers_mod.os, "replace",
+                        lambda *a: (_ for _ in ()).throw(KeyboardInterrupt()))
+    try:
+        lg.log_metrics({"train_loss": 0.6}, 2)
+    except KeyboardInterrupt:
+        pass
+    monkeypatch.setattr(loggers_mod.os, "replace", real_replace)
+
+    import csv as _csv
+    with open(tmp_path / "run" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    # old file whole: exactly the two pre-kill epochs, fully parseable
+    assert [int(r["epoch"]) for r in rows] == [0, 1]
