@@ -467,15 +467,19 @@ def augment_volume(key: jax.Array, vol: jax.Array,
     return vol
 
 
-def _compact_cap(n_volumes: int, prob: float) -> int:
-    """Fixed prefix size for compaction-gating: mean + 6σ of the Binomial
-    draw count (+1).  P(count > cap) < 1e-9 per step at the live batch
-    sizes; an overflow volume silently keeps its untransformed value."""
+def _compact_cap(n_volumes: int, prob: float, sigmas: float = 2.5) -> int:
+    """Fixed prefix size for compaction-gating: mean + `sigmas`·σ of the
+    Binomial draw count (+1).  Round 2 used 6σ so overflow could be silently
+    ignored (P < 1e-9), which left the cap at ~50-75% of the batch at live
+    sizes — the Binomial tail ate most of the gating win.  Round 3 pairs a
+    tight 2.5σ cap (~0.6% overflow per step) with an exact lax.cond dense
+    fallback in _augment_batch_compact, so the cap only sets the FAST path's
+    cost and correctness never depends on it."""
     import math
 
     mean = n_volumes * prob
     sigma = math.sqrt(n_volumes * prob * (1.0 - prob))
-    return min(n_volumes, int(math.ceil(mean + 6.0 * sigma)) + 1)
+    return min(n_volumes, int(math.ceil(mean + sigmas * sigma)) + 1)
 
 
 def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
@@ -483,13 +487,17 @@ def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
     """Batch-stepped pipeline with compaction-gating of expensive transforms.
 
     Per step, the volumes that drew the transform (Bernoulli per volume,
-    SAME key derivation as augment_volume, so outputs are bit-identical to
-    mode='vmap') are argsort-compacted to the front and only a fixed
+    SAME key derivation as augment_volume, so draws/parameters match
+    mode='vmap' exactly; values agree to the last ulp — the lax.cond
+    wrapper fuses FMAs slightly differently) are argsort-compacted to the
+    front and only a fixed
     `_compact_cap` prefix runs the transform — row gathers/scatters of whole
     volumes are contiguous DMA-shaped copies (~0.6 ms per 128 MB), unlike
     the per-element gathers TPUs hate.  A p=0.2 transform thus costs ~cap/B
     of its dense cost while keeping full vmap parallelism (the lax.cond
-    'scan' mode serializes volumes and loses on net)."""
+    'scan' mode serializes volumes and loses on net).  The rare draw that
+    overflows the cap (P ≈ 0.6%/step) takes an exact dense fallback branch
+    via lax.cond, so correctness never depends on the cap choice."""
     steps = _steps(cfg)
     step_keys = jax.vmap(lambda k: jax.random.split(k, len(steps)))(keys)
     n = flat.shape[0]
@@ -511,12 +519,24 @@ def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
             out = run(k_fn, flat)
             flat = jnp.where(applied[:, None, None, None], out, flat)
         else:
-            order = jnp.argsort(jnp.logical_not(applied))  # selected first
-            sel = order[:cap]
-            sub = flat[sel]
-            out_sub = run(k_fn[sel], sub)
-            merged = jnp.where(applied[sel][:, None, None, None], out_sub, sub)
-            flat = flat.at[sel].set(merged)
+            def gated(flat):
+                order = jnp.argsort(jnp.logical_not(applied))  # selected first
+                sel = order[:cap]
+                sub = flat[sel]
+                out_sub = run(k_fn[sel], sub)
+                merged = jnp.where(applied[sel][:, None, None, None],
+                                   out_sub, sub)
+                return flat.at[sel].set(merged)
+
+            def dense(flat):
+                out = run(k_fn, flat)
+                return jnp.where(applied[:, None, None, None], out, flat)
+
+            # exact overflow handling: the ~0.6%-probability draw where more
+            # than `cap` volumes selected the transform takes the dense
+            # branch — same keys and kernels either way (values to the last
+            # ulp), the cap only bounds the fast path's cost
+            flat = jax.lax.cond(jnp.sum(applied) <= cap, gated, dense, flat)
     return flat
 
 
@@ -528,9 +548,9 @@ def augment_batch(key: jax.Array, imgs: jax.Array,
     transform calls (dataset_ucsf.py:150-155).
 
     mode='compact' (default): batch-stepped vmap with compaction-gating of
-    the expensive p<1 transforms (see _augment_batch_compact) — bit-identical
-    outputs to 'vmap' (same key derivation) at ~cap/B of the cost for the
-    gated steps.
+    the expensive p<1 transforms (see _augment_batch_compact) — same draws
+    and parameters as 'vmap' (same key derivation; values to the last ulp)
+    at ~cap/B of the cost for the gated steps.
     mode='vmap': one fused SIMD program over all volumes; every transform
     executes for every volume and jnp.where selects — maximal parallelism,
     5× the expected-value FLOPs for the p=0.2 transforms.

@@ -207,6 +207,9 @@ def apply(params: dict, config: Config, img: jax.Array,
     """
     img = promote_input(img)
     cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
+    # activation storage dtype (see model_vit.apply): bf16 halves elementwise
+    # HBM traffic; matmul accumulation stays f32; default f32 = exact parity
+    adt = jnp.dtype(config.get("activation_dtype", "float32"))
     impl = "flash" if config.use_flash_attention else "xla"
     rngs = RngStream(rng)
     B = img.shape[0]
@@ -214,7 +217,7 @@ def apply(params: dict, config: Config, img: jax.Array,
 
     streams = []
     for m in range(M):
-        x = patchify_3d(img[:, m], config.patch_size)
+        x = patchify_3d(img[:, m], config.patch_size).astype(adt)
         x = linear(params["patch_to_embedding"], x, cdt)
         cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))
         x = jnp.concatenate([cls, x], axis=1)

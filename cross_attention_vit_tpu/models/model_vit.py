@@ -69,6 +69,11 @@ def apply(params: dict, config: Config, img: jax.Array,
     (logits, loss) when labels given (reference modelv3.py:123-147)."""
     img = promote_input(img)
     cdt = jnp.dtype(config.compute_dtype) if config.compute_dtype != "float32" else None
+    # activation storage dtype between ops: bfloat16 halves the HBM traffic
+    # of every elementwise op (LN/GELU/dropout/residual) while matmuls keep
+    # f32 accumulation (ops.layers.linear) and softmax/LN internals stay f32.
+    # float32 (default) preserves the parity contract bit-for-bit.
+    adt = jnp.dtype(config.get("activation_dtype", "float32"))
     impl = "flash" if config.use_flash_attention else "xla"
     drop_path = config.get("drop_path_rate", 0.0)
     rngs = RngStream(rng)
@@ -76,7 +81,7 @@ def apply(params: dict, config: Config, img: jax.Array,
 
     tokens = []
     for m in range(M):
-        x = patchify_3d(img[:, m], config.patch_size)
+        x = patchify_3d(img[:, m], config.patch_size).astype(adt)
         tokens.append(linear(params["patch_to_embedding"], x, cdt))
     x = jnp.concatenate(tokens, axis=1)
 

@@ -82,8 +82,8 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
 
     out_k = params["out"]["kernel"].astype(out.dtype)
     y = jnp.einsum("bknd,kdh->bnh", out, out_k,
-                   preferred_element_type=in_dtype)
-    y = y + params["out"]["bias"].astype(in_dtype)
+                   preferred_element_type=jnp.float32)
+    y = (y + params["out"]["bias"].astype(jnp.float32)).astype(in_dtype)
     y = dropout(y, dropout_rate, rng, train)
     return y.astype(in_dtype)
 
@@ -121,7 +121,7 @@ def cross_attention_cls(params: dict, x: jax.Array, num_heads: int,
     out = _sdpa(q, k, v, scale, attn_dropout=dropout_rate, rng=rng, train=train)
     proj = params["proj"]
     y = jnp.einsum("bknd,kdh->bnh", out, proj["kernel"].astype(out.dtype),
-                   preferred_element_type=in_dtype)
-    y = y + proj["bias"].astype(in_dtype)
+                   preferred_element_type=jnp.float32)
+    y = (y + proj["bias"].astype(jnp.float32)).astype(in_dtype)
     y = dropout(y, dropout_rate, rng, train)
     return y.astype(in_dtype)

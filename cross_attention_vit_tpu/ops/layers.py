@@ -62,26 +62,36 @@ def remat_wrap(fn, config):
     remat_policy='save_attn' (default) keeps each layer's named 'attn_out'
     residual (ops.attention) so the backward recompute skips the SDPA
     kernel — measured on v5e config-4 (ViT-Base depth, batch 32): the flash
-    forward is ~7.8 ms/layer that full remat pays twice.  remat_policy=None
-    (or 'full') recomputes everything (minimum memory)."""
+    forward is ~7.8 ms/layer that full remat pays twice.
+    'save_attn_masks' additionally keeps the named 'dropout_mask' bool
+    tensors so the backward recompute skips regenerating every dropout
+    mask's random bits (one byte/element of residual instead of a second
+    RngBitGenerator pass).  remat_policy=None (or 'full') recomputes
+    everything (minimum memory)."""
     rp = config.get("remat_policy", "save_attn")
-    policy = (jax.checkpoint_policies.save_only_these_names("attn_out")
-              if rp == "save_attn" else None)
+    if rp == "save_attn":
+        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+    elif rp == "save_attn_masks":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "dropout_mask")
+    else:
+        policy = None
     return jax.checkpoint(fn, policy=policy)
 
 
 def linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
-    """x @ kernel + bias.  Optionally casts operands to `compute_dtype` for the
-    matmul (bf16 on the MXU) while accumulating/returning in x.dtype."""
+    """x @ kernel + bias.  Operands go to `compute_dtype` (bf16 on the MXU)
+    when given, else to x.dtype; accumulation is always float32 and the
+    result is cast back to x.dtype (so bf16 *activations* still get f32
+    matmul accumulation — bf16-accumulate would visibly degrade training)."""
     kernel = params["kernel"]
     out_dtype = x.dtype
-    if compute_dtype is not None:
-        x = x.astype(compute_dtype)
-        kernel = kernel.astype(compute_dtype)
-    y = jnp.dot(x, kernel, preferred_element_type=out_dtype)
+    op_dtype = compute_dtype if compute_dtype is not None else out_dtype
+    y = jnp.dot(x.astype(op_dtype), kernel.astype(op_dtype),
+                preferred_element_type=jnp.float32)
     if "bias" in params:
-        y = y + params["bias"].astype(out_dtype)
-    return y
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(out_dtype)
 
 
 def layernorm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
@@ -99,6 +109,22 @@ def gelu(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+# How dropout keys are tied to their input tensor (see _tie_key):
+#   'full'   — optimization_barrier on (key, x): x must materialize before the
+#              mask generates.  Maximum liveness control, but the barrier also
+#              blocks x's producer from fusing into the mask-apply.
+#   'scalar' — barrier on (key, x[0,…,0]): the scheduler still cannot hoist
+#              the mask generation above x's producing layer (the scalar
+#              witness depends on it), while x itself stays fusible into the
+#              mask-apply.  Default; measured equal-or-better step time with
+#              identical mask values ('full' and 'scalar' barrier the same
+#              key data).
+#   None     — no tie: only safe for small models (XLA hoists every mask to
+#              step start; measured 32 GB of simultaneous mask temps at
+#              config-4 scale).
+TIE_KEY_MODE: str | None = "scalar"
+
+
 def _tie_key(key: jax.Array, x: jax.Array):
     """Make the PRNG key *data-depend* on the tensor it will mask.
 
@@ -107,10 +133,20 @@ def _tie_key(key: jax.Array, x: jax.Array):
     then hoists them all, keeping O(num_layers) full-width u32/f32 mask temps
     live at once (measured: 12-layer ModelVIT, batch 32 — 20+ simultaneous
     516 MB (B, N, mlp) buffers, 32 GB > HBM).  An optimization_barrier pairing
-    the key with the input forces each mask to materialize only when its
-    consumer is ready, restoring O(1)-layer liveness.  Identity on values."""
-    kd, x = jax.lax.optimization_barrier((jax.random.key_data(key), x))
-    return jax.random.wrap_key_data(kd), x
+    the key with the input (or a scalar witness of it, TIE_KEY_MODE) forces
+    each mask to materialize only when its consumer's layer is live,
+    restoring O(1)-layer liveness.  Identity on values."""
+    if TIE_KEY_MODE == "full":
+        kd, x = jax.lax.optimization_barrier((jax.random.key_data(key), x))
+        return jax.random.wrap_key_data(kd), x
+    if TIE_KEY_MODE == "scalar":
+        # one corner element is enough: the barrier's key output now depends
+        # on x's producing computation (XLA duplicates the tiny slice into
+        # its own fusion) without forcing all of x to materialize
+        witness = jax.lax.slice(x, (0,) * x.ndim, (1,) * x.ndim)
+        kd, _ = jax.lax.optimization_barrier((jax.random.key_data(key), witness))
+        return jax.random.wrap_key_data(kd), x
+    return key, x
 
 
 # PRNG implementation for dropout masks.  "rbg" rides the TPU's hardware
@@ -141,6 +177,11 @@ def dropout(x: jax.Array, rate: float, rng: RngStream, train: bool) -> jax.Array
     keep = 1.0 - rate
     key, x = _tie_key(rng(), x)
     mask = jax.random.bernoulli(_mask_key(key), keep, x.shape)
+    # named so remat_policy='save_attn_masks' can keep the bool mask (1 B/elt)
+    # instead of re-running the RngBitGenerator in the backward recompute
+    from jax.ad_checkpoint import checkpoint_name
+
+    mask = checkpoint_name(mask, "dropout_mask")
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

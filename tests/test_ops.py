@@ -130,6 +130,66 @@ def test_dropout_train_eval_semantics():
     np.testing.assert_allclose(out_train[kept], 2.0)  # inverted scaling 1/(1-p)
 
 
+def test_dropout_tie_key_modes_identical():
+    """TIE_KEY_MODE only changes the XLA scheduling contract, never the mask
+    values: 'scalar' and 'full' barrier the same key data."""
+    from cross_attention_vit_tpu.ops import layers as L
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 32)),
+                    jnp.float32)
+    outs = {}
+    orig = L.TIE_KEY_MODE
+    try:
+        for mode in ("scalar", "full", None):
+            L.TIE_KEY_MODE = mode
+            outs[mode] = np.asarray(
+                dropout(x, 0.3, RngStream(jax.random.key(7)), train=True))
+    finally:
+        L.TIE_KEY_MODE = orig
+    np.testing.assert_array_equal(outs["scalar"], outs["full"])
+    np.testing.assert_array_equal(outs["scalar"], outs[None])
+
+
+def test_bf16_activation_dtype_close_to_f32():
+    """activation_dtype='bfloat16' stores activations in bf16 between ops
+    (matmuls still accumulate f32) — logits must stay within bf16
+    rounding-accumulation distance of the f32 path."""
+    from cross_attention_vit_tpu.configs import get_mgmt_config, modify_config
+    from cross_attention_vit_tpu.models import model_vit
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=64, mlp_dim=128, num_heads=4,
+                            num_layers=2, img_size=(16, 16, 8),
+                            patch_size=(8, 8, 8), num_modalities=2,
+                            dropout=0.0, label_smoothing=0.0))
+    params = model_vit.init(jax.random.key(0), cfg)
+    img = jnp.asarray(np.random.default_rng(1).normal(
+        size=(2, 2, 1, 16, 16, 8)) * 100, jnp.float32)
+    logits_f32 = np.asarray(model_vit.apply(params, cfg, img))
+    cfg.activation_dtype = "bfloat16"
+    cfg.compute_dtype = "bfloat16"
+    logits_bf16 = np.asarray(model_vit.apply(params, cfg, img))
+    assert logits_bf16.dtype == np.float32  # logits always emitted f32
+    scale = np.abs(logits_f32).max()
+    np.testing.assert_allclose(logits_bf16, logits_f32, atol=0.05 * scale)
+
+
+def test_linear_bf16_activations_accumulate_f32():
+    """A bf16-activation linear must not accumulate in bf16: compare against
+    the f32 ground truth on a reduction long enough to expose bf16
+    accumulation error (which would be ~1e-2 relative at K=4096)."""
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(8, 4096)).astype(np.float32)
+    w = (rng.normal(size=(4096, 32)) / 64).astype(np.float32)
+    params = {"kernel": jnp.asarray(w), "bias": jnp.zeros((32,))}
+    exact = x @ w
+    y = np.asarray(linear(params, jnp.asarray(x, jnp.bfloat16)),
+                   dtype=np.float32)
+    # operands rounded to bf16 (~0.4% elementwise) but the 4096-term sum is
+    # accumulated in f32: error stays at operand-rounding scale, not K·ulp
+    np.testing.assert_allclose(y, exact, rtol=0.02, atol=0.02 * np.abs(exact).std())
+
+
 def test_xavier_uniform_bounds_and_moments():
     k = jax.random.key(0)
     w = np.asarray(init_ops.xavier_uniform(k, (256, 512)))
