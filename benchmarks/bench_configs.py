@@ -15,10 +15,13 @@ configs"); bench.py at the repo root remains the headline e2e number
   5  ViT-Large ModelVIT sharded eval over an 8-device ('data','model') mesh
      with the sharded NIfTI pipeline — dryrun scale on 8 virtual CPU devices
      (no v5e-8 available here; the sharding program is identical).
+  6  ViT-Large ModelVIT eval at FULL spatial size on the real chip with a
+     1-device mesh — the honest on-chip number config 5's dryrun cannot give
+     (same jitted-mesh program GSPMD shards at 8 devices).
 
 Backends differ per config, and a JAX backend initializes once per process —
 `--all` therefore spawns one subprocess per config and appends each line to
-BENCH_CONFIGS_r02.json in the repo root.
+BENCH_CONFIGS_r03.json in the repo root.
 
 Usage: python benchmarks/bench_configs.py --all
        python benchmarks/bench_configs.py --config 4
@@ -36,7 +39,7 @@ sys.path.insert(0, str(ROOT))
 
 UCSF = "/root/reference/ucsf-data"
 LABELS = "/root/reference/labels.csv"
-OUT = ROOT / "BENCH_CONFIGS_r02.json"
+OUT = ROOT / "BENCH_CONFIGS_r03.json"
 
 
 def _force_cpu(n_devices: int = 1) -> None:
@@ -297,7 +300,61 @@ def config5():
     }
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6():
+    """ViT-Large ModelVIT eval at FULL spatial size (128,128,64) on the real
+    chip, jitted over a 1-device mesh — the same GSPMD program config 5
+    shards over v5e-8; this supplies the on-chip device-side number the
+    virtual-CPU dryrun cannot (round-2 verdict item 5)."""
+    import jax
+    import numpy as np
+
+    from cross_attention_vit_tpu.data.dataset import BrainDataset
+    from cross_attention_vit_tpu.data.loader import (PrefetchLoader,
+                                                     transfer_dtype_for)
+    from cross_attention_vit_tpu.models import model_vit
+    from cross_attention_vit_tpu.parallel import (batch_sharding, make_mesh,
+                                                  shard_params)
+    from cross_attention_vit_tpu.train.trainer import make_eval_step
+    from cross_attention_vit_tpu.utils import flops as F
+
+    cfg = _cfg("vit", hidden_dim=1024, mlp_dim=4096, num_heads=16,
+               num_layers=24, dropout=0.0, num_modalities=2, img_aug=False)
+    cfg.compute_dtype = "bfloat16"
+    cfg.use_flash_attention = True
+    mesh = make_mesh(1, 1)
+    params = shard_params(model_vit.init(jax.random.key(0), cfg), mesh)
+    step = make_eval_step(model_vit.apply, cfg, mesh=mesh)
+
+    df = _cohort(6)
+    ds = BrainDataset(df, cfg, types=("T1c", "FLAIR"), is_train=False,
+                      folder=UCSF, cache=True)
+    items = [ds[i] for i in range(6)]
+    imgs = jax.device_put(np.stack([it[0] for it in items]))
+    labels = jax.device_put(np.asarray([it[1] for it in items], np.int32))
+    _sync(step(params, imgs, labels)["loss"])  # compile
+    reps = 20
+    t0 = time.perf_counter()
+    aux = None
+    for _ in range(reps):
+        aux = step(params, imgs, labels)
+    _sync(aux["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    fwd_flops = F.model_vit_fwd_flops(cfg, 6)
+    return {
+        "metric": "config6_vit_large_onchip_eval_volumes_per_sec",
+        "value": round(6 / dt, 3),
+        "unit": "volumes/s (device eval step, batch 6, 1-device mesh)",
+        "eval_step_ms": round(dt * 1000, 2),
+        "ms_per_volume": round(dt * 1000 / 6, 2),
+        "mfu": round(F.mfu(fwd_flops, dt), 4),
+        "config": "ModelVIT-Large depth 24, FULL (128,128,64) spatial, "
+                  "2 streams, bf16, flash attention, real v5e",
+        "note": "same jitted-mesh program as config 5's v5e-8 dryrun",
+    }
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def main():

@@ -1,0 +1,154 @@
+"""Training-dynamics parity: N-epoch Adam loss curves, JAX vs torch.
+
+SURVEY.md §7 asks for *statistical* training parity beyond the single-step
+Adam trajectory test (test_train.py): same init, same real data, aug off,
+dropout 0 → the JAX train loop and an independent torch loop (torch
+functional forward via torch_oracle + torch.optim.Adam +
+CosineAnnealingLR) must produce the same per-epoch loss curve up to f32
+accumulation drift.
+
+Both sides compute in float32 — the comparison is implementation-vs-
+implementation of identical math, so agreement is at rounding-noise scale
+(measured: see docs/TRAIN_PARITY_r03.md for the 30-epoch band on both model
+families).  Reduced width (hidden 128) keeps the torch CPU side tractable;
+volumes are the REAL 6-subject cohort at full (128,128,64) spatial size —
+raw int16 magnitudes included, which is the numerically touchy part
+(SURVEY.md §7 hard-parts list).
+
+Epoch count: 8 in CI; set PARITY_EPOCHS=30 for the docs-grade run
+(`PARITY_EPOCHS=30 python -m pytest tests/test_train_parity_dynamics.py -s`).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import torch
+
+from cross_attention_vit_tpu.configs import (get_mgmt_config,
+                                             get_mgmt_cross_config,
+                                             modify_config)
+from cross_attention_vit_tpu.models import model_cross, model_vit
+from cross_attention_vit_tpu.train import optim
+from cross_attention_vit_tpu.train.schedule import cosine_annealing_lr
+
+import torch_oracle
+
+UCSF = "/root/reference/ucsf-data"
+LABELS = "/root/reference/labels.csv"
+
+EPOCHS = int(os.environ.get("PARITY_EPOCHS", "8"))
+
+
+def _cohort_batch(cfg, types):
+    from cross_attention_vit_tpu.data.dataset import BrainDataset
+    from cross_attention_vit_tpu.data.labels import clean_data, load_labels
+    from cross_attention_vit_tpu.drivers.experiments import filter_available
+
+    df = clean_data(load_labels(LABELS), "MGMT status")
+    df = filter_available(df, UCSF).reset_index(drop=True)
+    ds = BrainDataset(df, cfg, types=types, is_train=False, folder=UCSF)
+    items = [ds[i] for i in range(len(df))]
+    imgs = np.stack([it[0] for it in items]).astype(np.float32)
+    labels = np.asarray([it[1] for it in items], np.int32)
+    return imgs, labels
+
+
+def _torch_curve(module_fwd, params, cfg, imgs, labels, epochs):
+    """Independent torch training loop on a float32 copy of the params."""
+    old_dtype = torch_oracle.DTYPE
+    torch_oracle.DTYPE = torch.float32
+    try:
+        tp = jax.tree.map(
+            lambda a: torch.tensor(np.asarray(a), dtype=torch.float32,
+                                   requires_grad=True), params)
+        leaves = jax.tree.leaves(tp)
+        op = cfg.optim_params
+        opt = torch.optim.Adam(leaves, lr=cfg.lr,
+                               weight_decay=cfg.weight_decay)
+        sched = torch.optim.lr_scheduler.CosineAnnealingLR(
+            opt, T_max=op["T_max"], eta_min=op["eta_min"])
+        imgt = torch.tensor(imgs, dtype=torch.float32)
+        losses = []
+        for _ in range(epochs):
+            opt.zero_grad()
+            _, loss = module_fwd(tp, cfg, imgt, labels, as_tensor=True)
+            loss.backward()
+            opt.step()
+            sched.step()
+            losses.append(float(loss.detach()))
+        return losses
+    finally:
+        torch_oracle.DTYPE = old_dtype
+
+
+def _jax_curve(module, params, cfg, imgs, labels, epochs):
+    lr_fn = cosine_annealing_lr(cfg.lr, cfg.optim_params["T_max"],
+                                cfg.optim_params["eta_min"])
+
+    @jax.jit
+    def step(params, opt_state, lr):
+        def loss_fn(p):
+            _, loss = module.apply(p, cfg, imgs, labels, train=False)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt_state = optim.update(grads, opt_state, params, lr,
+                                         weight_decay=cfg.weight_decay)
+        return params, opt_state, loss
+
+    opt_state = optim.init(params)
+    losses = []
+    for e in range(epochs):
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(lr_fn(e), jnp.float32))
+        losses.append(float(loss))
+    return losses
+
+
+def _run(module, oracle_fwd, cfg, types):
+    imgs, labels = _cohort_batch(cfg, types)
+    params = module.init(jax.random.key(0), cfg)
+    jc = _jax_curve(module, params, cfg, imgs, labels, EPOCHS)
+    tc = _torch_curve(oracle_fwd, params, cfg, imgs, labels, EPOCHS)
+    jc, tc = np.asarray(jc), np.asarray(tc)
+    rel = np.abs(jc - tc) / np.maximum(np.abs(tc), 1e-8)
+    print(f"\n{module.__name__}: epochs={EPOCHS}")
+    print(" epoch   jax_loss     torch_loss   rel_diff")
+    for e in range(EPOCHS):
+        print(f" {e:5d}   {jc[e]:.6f}   {tc[e]:.6f}   {rel[e]:.2e}")
+    print(f" max rel diff {rel.max():.2e}")
+    return jc, tc, rel
+
+
+def test_vit_training_dynamics_match_torch():
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=128, mlp_dim=256, num_heads=4,
+                            num_layers=2, num_modalities=2, dropout=0.0,
+                            label_smoothing=0.0, lr=1e-4, weight_decay=5e-4,
+                            optim_params={"T_max": max(EPOCHS, 10),
+                                          "eta_min": 1e-6}))
+    jc, tc, rel = _run(model_vit, torch_oracle.vit_forward, cfg,
+                       ("T1c", "FLAIR"))
+    # identical math, independent f32 implementations: agreement at
+    # accumulation-noise scale, growing slowly with steps
+    assert rel.max() < 5e-3
+    assert jc[-1] < jc[0]  # and it actually learns
+
+
+def test_cross_training_dynamics_match_torch():
+    cfg = get_mgmt_cross_config()
+    modify_config(cfg, dict(hidden_dim=128, mlp_dim=256, num_heads=4,
+                            num_multi_blocks=1, num_self_blocks=1,
+                            attn_order={"0": "1"}, num_modalities=2,
+                            dropout=0.0, label_smoothing=0.0, lr=1e-4,
+                            weight_decay=5e-4,
+                            optim_params={"T_max": max(EPOCHS, 10),
+                                          "eta_min": 1e-6}))
+    jc, tc, rel = _run(model_cross, torch_oracle.cross_forward, cfg,
+                       ("T1c", "FLAIR"))
+    assert rel.max() < 5e-3

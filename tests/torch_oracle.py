@@ -21,6 +21,8 @@ DTYPE = torch.float64
 
 
 def t(x, dtype=None) -> torch.Tensor:
+    if isinstance(x, torch.Tensor):
+        return x.to(dtype or DTYPE)  # pass-through keeps autograd intact
     return torch.from_numpy(np.asarray(x)).to(dtype or DTYPE)
 
 
@@ -31,30 +33,30 @@ def t(x, dtype=None) -> torch.Tensor:
 
 
 def linear_t(p: dict, x: torch.Tensor) -> torch.Tensor:
-    kernel = np.asarray(p["kernel"])
+    kernel = t(p["kernel"])
     if kernel.ndim == 4:                 # fused qkv (H, 3, K, D)
         kernel = kernel.reshape(kernel.shape[0], -1)
-    y = x @ t(kernel)
+    y = x @ kernel
     if "bias" in p:
-        y = y + t(np.asarray(p["bias"]).reshape(-1))
+        y = y + t(p["bias"]).reshape(-1)
     return y
 
 
 def head_in_t(p: dict, x: torch.Tensor) -> torch.Tensor:
     """(H, K, D) kernel, (K, D) bias → torch Linear(H, H)."""
-    k = np.asarray(p["kernel"])
-    y = x @ t(k.reshape(k.shape[0], -1))
+    k = t(p["kernel"])
+    y = x @ k.reshape(k.shape[0], -1)
     if "bias" in p:
-        y = y + t(np.asarray(p["bias"]).reshape(-1))
+        y = y + t(p["bias"]).reshape(-1)
     return y
 
 
 def head_out_t(p: dict, x: torch.Tensor) -> torch.Tensor:
     """(K, D, H) kernel → torch Linear(H, H) on merged-heads input."""
-    k = np.asarray(p["kernel"])
-    y = x @ t(k.reshape(-1, k.shape[-1]))
+    k = t(p["kernel"])
+    y = x @ k.reshape(-1, k.shape[-1])
     if "bias" in p:
-        y = y + t(np.asarray(p["bias"]))
+        y = y + t(p["bias"])
     return y
 
 
@@ -112,8 +114,11 @@ def embed_stream_t(params: dict, vol: torch.Tensor, patch) -> torch.Tensor:
 
 
 def cross_forward(params: dict, config, img: np.ndarray,
-                  labels: np.ndarray | None = None):
-    """Eval-mode ModelCross forward (reference model_cross.py:186-212)."""
+                  labels: np.ndarray | None = None, as_tensor: bool = False):
+    """Eval-mode ModelCross forward (reference model_cross.py:186-212).
+
+    as_tensor=True keeps the torch graph (params may be requires_grad
+    tensors) — used by the training-dynamics parity harness."""
     imgt = t(img)
     M = imgt.shape[1]
     streams = [embed_stream_t(params, imgt[:, m], config.patch_size) for m in range(M)]
@@ -148,12 +153,16 @@ def cross_forward(params: dict, config, img: np.ndarray,
         return logits.numpy()
     loss = F.cross_entropy(logits, torch.from_numpy(np.asarray(labels)).long(),
                            label_smoothing=config.label_smoothing)
-    return logits.numpy(), loss.item()
+    if as_tensor:
+        return logits, loss
+    return logits.detach().numpy(), loss.item()
 
 
 def vit_forward(params: dict, config, img: np.ndarray,
-                labels: np.ndarray | None = None):
-    """Eval-mode ModelVIT forward (reference modelv3.py:123-147)."""
+                labels: np.ndarray | None = None, as_tensor: bool = False):
+    """Eval-mode ModelVIT forward (reference modelv3.py:123-147).
+
+    as_tensor=True keeps the torch graph (see cross_forward)."""
     imgt = t(img)
     M = imgt.shape[1]
     tokens = torch.cat([
@@ -174,4 +183,6 @@ def vit_forward(params: dict, config, img: np.ndarray,
     if labels is None:
         return logits.numpy()
     loss = F.cross_entropy(logits, torch.from_numpy(np.asarray(labels)).long())
-    return logits.numpy(), loss.item()
+    if as_tensor:
+        return logits, loss
+    return logits.detach().numpy(), loss.item()
