@@ -222,6 +222,11 @@ def config4():
     # batch 32 × depth 12 × seq 1025 saves ~190 MB of padded flash qkv per
     # layer for the backward — past v5e HBM without rematerialization
     cfg.remat = True
+    # round-3 perf knobs (docs/PERF_r03.md): bf16 activation storage (loss
+    # curve within 0.3% of f32, test_train_parity_dynamics) and mask-saving
+    # selective remat
+    cfg.activation_dtype = "bfloat16"
+    cfg.remat_policy = "save_attn_masks"
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,
                       cache=True)

@@ -56,6 +56,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dot_prec(dt):
+    """MXU precision for a kernel matmul with operand dtype `dt`.
+
+    f32 operands: HIGHEST — the MXU multiplies bf16 natively, so a default-
+    precision f32 dot is a single truncated pass (measured on v5e: 4.6e-3
+    normalized deviation from the 6-pass result at N=1025).  An f32 caller
+    asked for f32 accuracy; give it the full decomposition (the f32 path is
+    not the training path, so the 6x pass cost is irrelevant).  bf16
+    operands: default (native rate)."""
+    return jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -68,13 +80,15 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     v = v_ref[0, 0]
     dots = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (N̂, N̂)
+        preferred_element_type=jnp.float32,
+        precision=_dot_prec(q.dtype)) * scale  # (N̂, N̂)
     n_pad = dots.shape[-1]
     if n_valid < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, dots.shape, 1)
         dots = jnp.where(col < n_valid, dots, -jnp.inf)
     attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-    out = jnp.dot(attn, v, preferred_element_type=jnp.float32)
+    out = jnp.dot(attn, v, preferred_element_type=jnp.float32,
+                  precision=_dot_prec(v.dtype))
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
@@ -99,7 +113,8 @@ def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
     vb = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # (BQ, BKV)
+        preferred_element_type=jnp.float32,
+        precision=_dot_prec(q.dtype)) * scale  # (BQ, BKV)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
     s = jnp.where(col < n_valid, s, -jnp.inf)
 
@@ -110,7 +125,8 @@ def _attn_kernel_stream(q_ref, k_ref, v_ref, o_ref, lse_ref,
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+        p.astype(vb.dtype), vb, preferred_element_type=jnp.float32,
+        precision=_dot_prec(vb.dtype))
     m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
 
@@ -236,7 +252,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     do = do_ref[0, 0]
 
     s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=f32) * scale
+                            preferred_element_type=f32,
+                            precision=_dot_prec(q.dtype)) * scale
     n_pad = s.shape[-1]
     if n_valid < n_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -244,17 +261,22 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     p = jax.nn.softmax(s, axis=-1)
     pb = p.astype(v.dtype)
 
-    o = jnp.dot(pb, v, preferred_element_type=f32)
+    o = jnp.dot(pb, v, preferred_element_type=f32,
+                precision=_dot_prec(v.dtype))
     delta = jnp.sum(do.astype(f32) * o, axis=-1, keepdims=True)  # (N̂, 1)
     dv = jax.lax.dot_general(pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=f32)       # Pᵀ dO
+                             preferred_element_type=f32,
+                             precision=_dot_prec(v.dtype))     # Pᵀ dO
     dp = jax.lax.dot_general(do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)       # dO vᵀ
+                             preferred_element_type=f32,
+                             precision=_dot_prec(v.dtype))     # dO vᵀ
     ds = p * (dp - delta) * scale
     dsb = ds.astype(v.dtype)
-    dq = jnp.dot(dsb, k, preferred_element_type=f32)
+    dq = jnp.dot(dsb, k, preferred_element_type=f32,
+                 precision=_dot_prec(k.dtype))
     dk = jax.lax.dot_general(dsb, q, dimension_numbers=(((0,), (0,)), ((), ())),
-                             preferred_element_type=f32)       # dsᵀ q
+                             preferred_element_type=f32,
+                             precision=_dot_prec(q.dtype))     # dsᵀ q
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
@@ -279,7 +301,12 @@ def _flash_backward_pallas(q, k, v, do, scale):
         out_specs=(spec, spec, spec),
         out_shape=(shape, shape, shape),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel"),
+            # f32 inputs at N̂=1032 need ~17 MB of scoped VMEM (the three
+            # (N̂,N̂) f32 buffers + the HIGHEST-precision dot's hi/lo operand
+            # splits) — just past the 16 MB default; v5e has 128 MB physical
+            vmem_limit_bytes=(24 * 1024 * 1024
+                              if q.dtype == jnp.float32 else None)),
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * B * K * n_pad * n_pad * d_pad,
             bytes_accessed=7 * B * K * n_pad * d_pad * 4,
@@ -317,7 +344,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=f32) * scale  # (BQ, BKV)
+                            preferred_element_type=f32,
+                            precision=_dot_prec(q.dtype)) * scale  # (BQ, BKV)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jkv * block_kv
     s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jnp.exp(s - lse)                   # exact softmax rows via saved lse
@@ -325,13 +353,16 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     dv_acc[...] += jax.lax.dot_general(
         pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32)        # Pᵀ dO
+        preferred_element_type=f32,
+        precision=_dot_prec(vb.dtype))     # Pᵀ dO
     dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)
+                             preferred_element_type=f32,
+                             precision=_dot_prec(vb.dtype))
     ds = p * (dp - delta) * scale
     dk_acc[...] += jax.lax.dot_general(
         ds.astype(vb.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=f32)        # dsᵀ q
+        preferred_element_type=f32,
+        precision=_dot_prec(q.dtype))      # dsᵀ q
 
     @pl.when(i == n_q - 1)
     def _done():
@@ -359,15 +390,18 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0][:, :1]
 
     s = jax.lax.dot_general(q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=f32) * scale
+                            preferred_element_type=f32,
+                            precision=_dot_prec(q.dtype)) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_kv
     s = jnp.where(col < n_valid, s, -jnp.inf)
     p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
-                             preferred_element_type=f32)
+                             preferred_element_type=f32,
+                             precision=_dot_prec(vb.dtype))
     ds = p * (dp - delta) * scale
     dq_acc[...] += jnp.dot(ds.astype(vb.dtype), kb,
-                           preferred_element_type=f32)
+                           preferred_element_type=f32,
+                           precision=_dot_prec(kb.dtype))
 
     @pl.when(j == n_kv - 1)
     def _done():

@@ -140,6 +140,31 @@ def test_vit_training_dynamics_match_torch():
     assert jc[-1] < jc[0]  # and it actually learns
 
 
+def test_bf16_activation_dynamics_stay_in_band():
+    """The activation_dtype='bfloat16' perf knob perturbs training numerics
+    (activations round to bf16 between ops; matmul accumulation stays f32).
+    Quantify it: the bf16-activation loss curve must track the f32 curve
+    within a few percent per epoch at raw-data scale — the evidence behind
+    the bench configs enabling the knob."""
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=128, mlp_dim=256, num_heads=4,
+                            num_layers=2, num_modalities=2, dropout=0.0,
+                            label_smoothing=0.0, lr=1e-4, weight_decay=5e-4,
+                            optim_params={"T_max": max(EPOCHS, 10),
+                                          "eta_min": 1e-6}))
+    imgs, labels = _cohort_batch(cfg, ("T1c", "FLAIR"))
+    params = model_vit.init(jax.random.key(0), cfg)
+    f32 = np.asarray(_jax_curve(model_vit, params, cfg, imgs, labels, EPOCHS))
+    cfg.activation_dtype = "bfloat16"
+    cfg.compute_dtype = "bfloat16"
+    bf16 = np.asarray(_jax_curve(model_vit, params, cfg, imgs, labels, EPOCHS))
+    rel = np.abs(bf16 - f32) / np.maximum(np.abs(f32), 1e-8)
+    print(f"\nbf16-act vs f32 loss curves: per-epoch rel diff max "
+          f"{rel.max():.3f}")
+    assert rel.max() < 0.05  # measured 0.003 over 8 epochs on real volumes
+    assert bf16[-1] < bf16[0]  # still learns
+
+
 def test_cross_training_dynamics_match_torch():
     cfg = get_mgmt_cross_config()
     modify_config(cfg, dict(hidden_dim=128, mlp_dim=256, num_heads=4,

