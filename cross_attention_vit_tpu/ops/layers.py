@@ -171,12 +171,30 @@ def _mask_key(key: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(kd, impl=DROPOUT_RNG_IMPL)
 
 
+# Mask bit width: 16 (default) thresholds uint16 random bits against
+# round(keep·2^16) — measured 10× faster than jax.random.bernoulli's
+# uniform-f32 compare at config-4 scale on v5e (102.5 → 10.1 ms for the
+# step's 36 masks; benchmarks/mask_probe.py) at a keep-probability
+# quantization of ≤ 2^-17, far below the distributional contract's noise.
+# None restores exact-probability bernoulli masks.
+DROPOUT_BITS: int | None = 16
+
+
+def _mask(key: jax.Array, keep: float, shape) -> jax.Array:
+    if DROPOUT_BITS in (8, 16):
+        dt = jnp.uint16 if DROPOUT_BITS == 16 else jnp.uint8
+        thresh = int(round(keep * (1 << DROPOUT_BITS)))
+        if thresh < (1 << DROPOUT_BITS):  # keep≈1 would wrap to all-False
+            return jax.random.bits(_mask_key(key), shape, dt) < dt(thresh)
+    return jax.random.bernoulli(_mask_key(key), keep, shape)
+
+
 def dropout(x: jax.Array, rate: float, rng: RngStream, train: bool) -> jax.Array:
     if not train or rate == 0.0:
         return x
     keep = 1.0 - rate
     key, x = _tie_key(rng(), x)
-    mask = jax.random.bernoulli(_mask_key(key), keep, x.shape)
+    mask = _mask(key, keep, x.shape)
     # named so remat_policy='save_attn_masks' can keep the bool mask (1 B/elt)
     # instead of re-running the RngBitGenerator in the backward recompute
     from jax.ad_checkpoint import checkpoint_name
@@ -192,7 +210,7 @@ def stochastic_depth_row(x: jax.Array, rate: float, rng: RngStream, train: bool)
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     key, x = _tie_key(rng(), x)
-    mask = jax.random.bernoulli(_mask_key(key), keep, shape)
+    mask = _mask(key, keep, shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))
 
 

@@ -150,6 +150,38 @@ def test_dropout_tie_key_modes_identical():
     np.testing.assert_array_equal(outs["scalar"], outs[None])
 
 
+def test_dropout_bits_mask_keep_rate():
+    """DROPOUT_BITS=16 thresholds uint16 random bits instead of a uniform-f32
+    compare (10× cheaper mask gen on v5e, benchmarks/mask_probe.py).  The
+    distributional contract must hold: empirical keep rate within sampling
+    noise of `keep` for every variant, exact quantization ≤ 2^-16, and a
+    keep≈1 rate must not wrap the threshold to all-False."""
+    from cross_attention_vit_tpu.ops import layers as L
+
+    x = jnp.ones((512, 512))
+    n = x.size
+    orig = L.DROPOUT_BITS
+    try:
+        for bits in (16, 8, None):
+            L.DROPOUT_BITS = bits
+            for rate in (0.1, 0.25, 0.5):
+                keep = 1.0 - rate
+                out = np.asarray(
+                    dropout(x, rate, RngStream(jax.random.key(3)), train=True))
+                kept = (out != 0).mean()
+                # 5 sigma of Binomial(n, keep) plus the 2^-8 quantization slack
+                tol = 5 * np.sqrt(keep * rate / n) + (2.0 ** -bits if bits else 0)
+                assert abs(kept - keep) < tol, (bits, rate, kept)
+                np.testing.assert_allclose(out[out != 0], 1.0 / keep, rtol=1e-6)
+            # keep≈1: round(keep·2^bits) would hit 2^bits and wrap — the guard
+            # must fall back to bernoulli, keeping everything
+            out = np.asarray(
+                dropout(x, 1e-7, RngStream(jax.random.key(3)), train=True))
+            assert (out != 0).mean() > 0.999
+    finally:
+        L.DROPOUT_BITS = orig
+
+
 def test_bf16_activation_dtype_close_to_f32():
     """activation_dtype='bfloat16' stores activations in bf16 between ops
     (matmuls still accumulate f32) — logits must stay within bf16
