@@ -42,10 +42,16 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--dropout", type=float, default=None,
                     help="override the model's dropout rate")
-    ap.add_argument("--mask-bits", choices=["16", "8", "none"], default="16",
+    ap.add_argument("--mask-bits", choices=["16", "8", "auto", "none"],
+                    default="auto",
                     help="ops.layers.DROPOUT_BITS: uint16/uint8 threshold "
-                         "masks vs exact bernoulli ('none')")
+                         "masks ('auto': 8 when keep-prob is 8-bit-exact) "
+                         "vs exact bernoulli ('none')")
     ap.add_argument("--aug", choices=["on", "off"], default="on")
+    ap.add_argument("--aug-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="config.augment_dtype: pipeline dtype for the "
+                         "device augmentation step boundaries")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -69,7 +75,9 @@ def main():
     from cross_attention_vit_tpu.utils import flops as F
 
     L.TIE_KEY_MODE = None if args.tie == "none" else args.tie
-    L.DROPOUT_BITS = None if args.mask_bits == "none" else int(args.mask_bits)
+    L.DROPOUT_BITS = (None if args.mask_bits == "none" else
+                      "auto" if args.mask_bits == "auto" else
+                      int(args.mask_bits))
 
     common = dict(lr=1e-4, weight_decay=5e-4, label_smoothing=0.0,
                   optim_params={"T_max": 250, "eta_min": 1e-6},
@@ -94,6 +102,7 @@ def main():
     cfg.compute_dtype = "bfloat16"
     cfg.use_flash_attention = True
     cfg.activation_dtype = args.act
+    cfg.augment_dtype = args.aug_dtype
     cfg.remat_policy = args.remat_policy if args.remat_policy != "full" else "full"
     if args.dropout is not None:
         cfg.dropout = args.dropout
@@ -124,7 +133,7 @@ def main():
     print(json.dumps({
         "variant": {"model": args.model, "tie": args.tie,
                     "remat_policy": args.remat_policy, "act": args.act,
-                    "mask_bits": args.mask_bits,
+                    "mask_bits": args.mask_bits, "aug_dtype": args.aug_dtype,
                     "dropout": cfg.dropout, "aug": args.aug},
         "train_step_ms": round(dt * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops_fn()), dt), 4),

@@ -367,16 +367,19 @@ def _smooth(cfg: AugmentConfig):
                                      maxval=cfg.sigma_yz[1]),
                   jax.random.uniform(ks[2], (), minval=cfg.sigma_yz[0],
                                      maxval=cfg.sigma_yz[1])]
+        # operands ride the pipeline dtype (lax.conv requires matching
+        # dtypes; bf16 halves the sweep traffic) with f32 accumulation
         out = vol[None, None]  # (1, 1, D, H, W)
         for axis, sigma in enumerate(sigmas):
-            kern = _gaussian_kernel(sigma, radius)
+            kern = _gaussian_kernel(sigma, radius).astype(vol.dtype)
             shape = [1, 1, 1, 1, 1]
             shape[2 + axis] = kern.shape[0]
             out = jax.lax.conv_general_dilated(
                 out, kern.reshape(shape),
                 window_strides=(1, 1, 1),
                 padding=[(radius, radius) if i == axis else (0, 0)
-                         for i in range(3)])
+                         for i in range(3)],
+                preferred_element_type=jnp.float32).astype(vol.dtype)
         return out[0, 0]
     return f
 
@@ -413,14 +416,22 @@ def _coarse_shuffle(cfg: AugmentConfig):
         hs = _clip_hole(cfg.shuffle_size, vol.shape)
         k_c, k_p = jax.random.split(key)
         corners = _hole_corners(k_c, vol.shape, hs, cfg.shuffle_holes)
-        perms = jax.vmap(lambda k: jax.random.permutation(
-            k, hs[0] * hs[1] * hs[2]))(jax.random.split(k_p, cfg.shuffle_holes))
+        # Shuffle = stable sort of the hole's voxels under fresh uniform
+        # uint32 keys: distributionally a uniform permutation (up to the
+        # ~n²/2³³ ≈ 0.7%-per-hole chance of a key collision, where stability
+        # keeps that PAIR in input order — irrelevant for augmentation
+        # noise).  A sort's compare-exchanges are regular strided VPU work;
+        # the gather `block.ravel()[perm]` it replaces costs ~14 ms/M
+        # elements on TPU (4× slower at this geometry, measured v5e).
+        bits = jax.vmap(lambda k: jax.random.bits(
+            k, (hs[0] * hs[1] * hs[2],), dtype=jnp.uint32))(
+                jax.random.split(k_p, cfg.shuffle_holes))
 
         def body(i, v):
             start = (corners[0][i], corners[1][i], corners[2][i])
             block = jax.lax.dynamic_slice(v, start, hs)
-            block = block.ravel()[perms[i]].reshape(hs)
-            return jax.lax.dynamic_update_slice(v, block, start)
+            _, shuffled = jax.lax.sort_key_val(bits[i], block.ravel())
+            return jax.lax.dynamic_update_slice(v, shuffled.reshape(hs), start)
         return jax.lax.fori_loop(0, cfg.shuffle_holes, body, vol)
     return f
 
@@ -510,9 +521,14 @@ def _augment_batch_compact(keys: jax.Array, flat: jax.Array,
         batched = getattr(fn, "batched", None)
 
         def run(sub_keys, sub_vols):
+            # transforms may compute internally in f32 (pow/noise/conv/Pallas
+            # resample); the PIPELINE dtype (= input dtype) is restored at
+            # every step boundary so bf16 batches keep bf16-sized gathers,
+            # scatters, selects and conditional buffers (the dominant aug
+            # cost — see docs/PERF_r03.md)
             if batched is not None:
-                return batched(sub_keys, sub_vols)
-            return jax.vmap(fn)(sub_keys, sub_vols)
+                return batched(sub_keys, sub_vols).astype(sub_vols.dtype)
+            return jax.vmap(fn)(sub_keys, sub_vols).astype(sub_vols.dtype)
 
         cap = _compact_cap(n, prob) if (gate and expensive) else n
         if cap >= n:
@@ -570,9 +586,11 @@ def augment_batch(key: jax.Array, imgs: jax.Array,
     flat = imgs.reshape(B * M * C, D, H, W)
     keys = jax.random.split(key, flat.shape[0])
     if mode == "scan":
+        # the per-volume path mixes f32 internals freely; run it in f32 and
+        # restore the caller's dtype (scan mode is the small-model/debug path)
         out = jax.lax.map(
             lambda kv: augment_volume(kv[0], kv[1], cfg, use_cond=True),
-            (keys, flat))
+            (keys, flat.astype(jnp.float32))).astype(flat.dtype)
     elif mode == "compact":
         out = _augment_batch_compact(keys, flat, cfg)
     else:

@@ -50,6 +50,20 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# Head-dim alignment for kernel blocks.  Mosaic pads VMEM tiles to the
+# (sublane, 128) lane grid internally, so a 64-lane block is legal — and at
+# the models' D=64 it HALVES every kernel operand's HBM footprint and DMA
+# versus rounding D up to 128, and deletes the XLA-level pad/slice pair
+# around every kernel call (measured config-4 train step: 35 ms/step of pad
+# ops alone, trace 2026-08-17).  The MXU time is unchanged either way (a
+# 64-wide pass occupies the same 128-lane tile).  8 = f32 sublane quantum.
+_D_ALIGN = 8
+
+
+def _d_pad(D: int) -> int:
+    return _round_up(D, _D_ALIGN)
+
+
 def _interpret() -> bool:
     # interpret mode lets the sharding/unit tests exercise the kernels on the
     # CPU backend (Mosaic only compiles for real TPUs)
@@ -155,7 +169,7 @@ _LANES = 128  # f32 lane width: lse/delta rows are lane-broadcast
 def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                    with_lse: bool = False):
     B, K, N, D = q.shape
-    d_pad = _round_up(D, 128)
+    d_pad = _d_pad(D)
     single = N <= _SINGLE_BLOCK_MAX
     n_pad = _round_up(N, 8) if single else _round_up(N, _BLOCK_Q)
     if n_pad != N or d_pad != D:
@@ -286,7 +300,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
 def _flash_backward_pallas(q, k, v, do, scale):
     B, K, N, D = q.shape
     n_pad = _round_up(N, 8)
-    d_pad = _round_up(D, 128)
+    d_pad = _d_pad(D)
     if n_pad != N or d_pad != D:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
         q, k, v, do = (jnp.pad(t, pad) for t in (q, k, v, do))
@@ -414,7 +428,7 @@ def _flash_backward_blocked(q, k, v, o, lse, do, scale):
     partial per step, so backward memory is bounded by HBM like the forward."""
     B, K, N, D = q.shape
     n_pad = _round_up(N, _BLOCK_Q)
-    d_pad = _round_up(D, 128)
+    d_pad = _d_pad(D)
     if n_pad != N or d_pad != D:
         pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
         q, k, v, o, do = (jnp.pad(t, pad) for t in (q, k, v, o, do))

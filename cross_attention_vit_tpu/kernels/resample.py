@@ -84,23 +84,27 @@ def _resample_kernel(cd_ref, vol_ref, out_ref, rel_ref, acc_ref, *,
             t = w * shifted
             part = t if part is None else part + t
         acc_ref[...] += part
-    out_ref[0] = acc_ref[...]
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
 def resample_axis_windowed_batched(vols: jax.Array, axis: int,
                                    cdelta: jax.Array, center: tuple,
                                    window: int) -> jax.Array:
-    """Batched windowed resample: vols (V, D, H, W) f32, cdelta (V, 3)
-    (= per-volume coefs − e_axis), static center/window.  Returns (V, D, H, W).
+    """Batched windowed resample: vols (V, D, H, W) f32 or bf16, cdelta
+    (V, 3) (= per-volume coefs − e_axis), static center/window.  Returns
+    (V, D, H, W) in the input dtype.
+
+    The kernel always ACCUMULATES taps in f32 scratch; bf16 volumes ride
+    bf16 HBM/VMEM tiles (halving pad+DMA traffic for the bf16 augmentation
+    pipeline) and only the store rounds.  Dtypes outside {f32, bf16} are
+    upcast to f32 for the whole call.
 
     Grid is (V, blocks) over one non-`axis` dimension so a padded tile plus
     accumulator stay well under VMEM (~3 MB at the live geometry)."""
     V, D, H, W = vols.shape
-    # the kernel accumulates and stores in f32 (out_ref[0] = acc_ref[...]);
-    # enforce the dtype contract here rather than emit a mismatched Mosaic
-    # store for bf16/f16 callers
     in_dtype = vols.dtype
-    vols = vols.astype(jnp.float32)
+    if in_dtype not in (jnp.float32, jnp.bfloat16):
+        vols = vols.astype(jnp.float32)
     pad = [(0, 0)] * 4
     pad[1 + axis] = (window, window + 1)
     padded = jnp.pad(vols, pad, mode="symmetric")

@@ -171,20 +171,31 @@ def _mask_key(key: jax.Array) -> jax.Array:
     return jax.random.wrap_key_data(kd, impl=DROPOUT_RNG_IMPL)
 
 
-# Mask bit width: 16 (default) thresholds uint16 random bits against
-# round(keep·2^16) — measured 10× faster than jax.random.bernoulli's
-# uniform-f32 compare at config-4 scale on v5e (102.5 → 10.1 ms for the
-# step's 36 masks; benchmarks/mask_probe.py) at a keep-probability
-# quantization of ≤ 2^-17, far below the distributional contract's noise.
-# None restores exact-probability bernoulli masks.
-DROPOUT_BITS: int | None = 16
+# Mask bit width: 16 thresholds uint16 random bits against round(keep·2^16)
+# — measured 10× faster than jax.random.bernoulli's uniform-f32 compare at
+# config-4 scale on v5e (102.5 → 10.1 ms for the step's 36 masks;
+# benchmarks/mask_probe.py) at a keep-probability quantization of ≤ 2^-17,
+# far below the distributional contract's noise.  8 halves the random-bit
+# traffic again (−6.5 ms on the live cross8 step, dropout 0.25) at 2^-8
+# quantization.  'auto' (default) picks 8 when keep·2^8 is an integer — the
+# threshold is then EXACT (the live ModelCross dropout 0.25 → keep 0.75 =
+# 192/256) — and 16 otherwise (ModelVIT's 0.1 is not 8-bit-exact).  None
+# restores exact-probability bernoulli masks.
+DROPOUT_BITS: int | str | None = "auto"
+
+
+def _mask_bits(keep: float) -> int | None:
+    if DROPOUT_BITS == "auto":
+        return 8 if (keep * 256) == int(keep * 256) else 16
+    return DROPOUT_BITS
 
 
 def _mask(key: jax.Array, keep: float, shape) -> jax.Array:
-    if DROPOUT_BITS in (8, 16):
-        dt = jnp.uint16 if DROPOUT_BITS == 16 else jnp.uint8
-        thresh = int(round(keep * (1 << DROPOUT_BITS)))
-        if thresh < (1 << DROPOUT_BITS):  # keep≈1 would wrap to all-False
+    bits = _mask_bits(keep)
+    if bits in (8, 16):
+        dt = jnp.uint16 if bits == 16 else jnp.uint8
+        thresh = int(round(keep * (1 << bits)))
+        if thresh < (1 << bits):  # keep≈1 would wrap to all-False
             return jax.random.bits(_mask_key(key), shape, dt) < dt(thresh)
     return jax.random.bernoulli(_mask_key(key), keep, shape)
 

@@ -96,6 +96,7 @@ def make_train_step(model_apply, config: Config, donate: bool = True,
     """
     weight_decay = config.weight_decay
     img_aug = bool(config.get("img_aug", False))
+    aug_bf16 = config.get("augment_dtype", "float32") == "bfloat16"
 
     def step(params, opt_state, img, labels, lr, rng):
         from ..ops.layers import promote_input
@@ -107,7 +108,15 @@ def make_train_step(model_apply, config: Config, donate: bool = True,
             from ..data.augment import augment_batch
 
             aug_rng, rng = jax.random.split(rng)
+            if aug_bf16:
+                # augment_dtype='bfloat16': the pipeline's step boundaries
+                # (gathers/scatters/selects/cond buffers — the dominant aug
+                # cost) carry bf16; each transform's internal math stays f32.
+                # Only sensible with activation_dtype bf16, where the model
+                # would round the volumes to bf16 at its first matmul anyway.
+                img = img.astype(jnp.bfloat16)
             img = augment_batch(aug_rng, img)
+            img = promote_input(img)  # restore the f32 model-entry contract
 
         def loss_fn(p):
             logits, loss = model_apply(p, config, img, labels, train=True, rng=rng)
@@ -152,6 +161,7 @@ def make_stateful_train_step(model_apply, config: Config, donate: bool = True,
     state update rides along (torch semantics: BN stats are buffers)."""
     weight_decay = config.weight_decay
     img_aug = bool(config.get("img_aug", False))
+    aug_bf16 = config.get("augment_dtype", "float32") == "bfloat16"
 
     def step(params, model_state, opt_state, img, labels, lr, rng):
         from ..ops.layers import promote_input
@@ -161,7 +171,10 @@ def make_stateful_train_step(model_apply, config: Config, donate: bool = True,
             from ..data.augment import augment_batch
 
             aug_rng, rng = jax.random.split(rng)
+            if aug_bf16:
+                img = img.astype(jnp.bfloat16)  # see make_train_step
             img = augment_batch(aug_rng, img)
+            img = promote_input(img)  # restore the f32 model-entry contract
 
         def loss_fn(p):
             logits, loss, new_state = model_apply(p, model_state, config, img,

@@ -223,6 +223,35 @@ def test_compact_mode_matches_vmap():
     np.testing.assert_array_equal(compact == imgs, dense == imgs)
 
 
+def test_bf16_pipeline_dtype_and_closeness():
+    """augment_dtype='bfloat16' (trainer knob): the batch pipeline carries
+    bf16 volumes across step boundaries (halving the gather/scatter/select
+    traffic that dominates device-aug cost) while transform internals stay
+    f32.  Contract: output dtype == input dtype, same transform draws as the
+    f32 pipeline (identical key derivation), values within bf16 rounding of
+    the f32 pipeline on MRI-scale data."""
+    rng = np.random.default_rng(5)
+    imgs = (rng.normal(size=(12, 2, 1, 16, 16, 8)) * 800).astype(np.float32)
+    key = jax.random.key(4)
+    for mode in ("compact", "vmap", "scan"):
+        f32_out = np.asarray(augment_batch(key, jnp.asarray(imgs), mode=mode))
+        bf16_in = jnp.asarray(imgs).astype(jnp.bfloat16)
+        bf16_out = augment_batch(key, bf16_in, mode=mode)
+        assert bf16_out.dtype == jnp.bfloat16, mode
+        # same VOLUMES selected for transformation (per-element patterns
+        # differ: bf16 rounding can leave individual voxels fixed)
+        axes = (2, 3, 4, 5)
+        np.testing.assert_array_equal(
+            (np.asarray(bf16_out.astype(jnp.float32))
+             == np.asarray(bf16_in.astype(jnp.float32))).all(axis=axes),
+            (f32_out == imgs).all(axis=axes))
+        # bf16 has ~3 decimal digits; the pipeline compounds a few steps
+        scale = np.abs(imgs).max()
+        np.testing.assert_allclose(
+            np.asarray(bf16_out.astype(jnp.float32)), f32_out,
+            atol=0.1 * scale, rtol=0.1)
+
+
 def test_compact_overflow_takes_exact_dense_fallback(monkeypatch):
     """If more volumes draw a gated transform than the cap admits (~0.6%
     per step live; forced here), the lax.cond fallback must run the DENSE

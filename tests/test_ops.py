@@ -162,7 +162,7 @@ def test_dropout_bits_mask_keep_rate():
     n = x.size
     orig = L.DROPOUT_BITS
     try:
-        for bits in (16, 8, None):
+        for bits in (16, 8, "auto", None):
             L.DROPOUT_BITS = bits
             for rate in (0.1, 0.25, 0.5):
                 keep = 1.0 - rate
@@ -170,9 +170,13 @@ def test_dropout_bits_mask_keep_rate():
                     dropout(x, rate, RngStream(jax.random.key(3)), train=True))
                 kept = (out != 0).mean()
                 # 5 sigma of Binomial(n, keep) plus the 2^-8 quantization slack
-                tol = 5 * np.sqrt(keep * rate / n) + (2.0 ** -bits if bits else 0)
+                q = 2.0 ** -bits if isinstance(bits, int) else 0
+                tol = 5 * np.sqrt(keep * rate / n) + q
                 assert abs(kept - keep) < tol, (bits, rate, kept)
                 np.testing.assert_allclose(out[out != 0], 1.0 / keep, rtol=1e-6)
+            if bits == "auto":
+                # routing: 8 bits iff keep quantizes exactly at 2^-8
+                assert L._mask_bits(0.75) == 8 and L._mask_bits(0.9) == 16
             # keep≈1: round(keep·2^bits) would hit 2^bits and wrap — the guard
             # must fall back to bernoulli, keeping everything
             out = np.asarray(
