@@ -47,10 +47,13 @@ def _live_cfg():
     cfg = get_mgmt_cross_config()
     modify_config(cfg, p)
     modify_config(cfg, {"num_modalities": len(MODALITIES)})
-    # round-3 perf knob (docs/PERF_r03.md): bf16 activation storage — loss
+    # round-3 perf knobs (docs/PERF_r03.md): bf16 activation storage — loss
     # curves track f32 within 0.3% (test_train_parity_dynamics); matmul
-    # accumulation stays f32
+    # accumulation stays f32 — bf16 augmentation pipeline and mask-saving
+    # selective remat
     cfg.activation_dtype = "bfloat16"
+    cfg.augment_dtype = "bfloat16"
+    cfg.remat_policy = "save_attn_masks"
     return cfg
 
 

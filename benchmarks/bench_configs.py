@@ -223,10 +223,11 @@ def config4():
     # layer for the backward — past v5e HBM without rematerialization
     cfg.remat = True
     # round-3 perf knobs (docs/PERF_r03.md): bf16 activation storage (loss
-    # curve within 0.3% of f32, test_train_parity_dynamics) and mask-saving
-    # selective remat
+    # curve within 0.3% of f32, test_train_parity_dynamics), mask-saving
+    # selective remat, bf16 augmentation pipeline
     cfg.activation_dtype = "bfloat16"
     cfg.remat_policy = "save_attn_masks"
+    cfg.augment_dtype = "bfloat16"
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,
                       cache=True)
