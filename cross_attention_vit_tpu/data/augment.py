@@ -367,20 +367,24 @@ def _smooth(cfg: AugmentConfig):
                                      maxval=cfg.sigma_yz[1]),
                   jax.random.uniform(ks[2], (), minval=cfg.sigma_yz[0],
                                      maxval=cfg.sigma_yz[1])]
-        # operands ride the pipeline dtype (lax.conv requires matching
-        # dtypes; bf16 halves the sweep traffic) with f32 accumulation
-        out = vol[None, None]  # (1, 1, D, H, W)
+        # Each separable 1-D pass is a banded (Toeplitz) matrix contraction
+        # on the MXU rather than a lax.conv: a C=1 conv lowers to VPU-bound
+        # sliding windows (~8 ms at the config-4 gating cap), while the
+        # (S,S) band matrix — built from static offset eyes weighted by the
+        # traced kernel taps — makes each pass a dense batched GEMM
+        # (~18 GFLOP total at that cap: sub-ms).  Same math: B[i,j] =
+        # k[j-i+r] reproduces the conv's zero padding exactly; bf16
+        # operands, f32 accumulation, like every matmul in the framework.
+        out = vol
+        subs = ("ij,jhw->ihw", "ij,djw->diw", "ij,dhj->dhi")
         for axis, sigma in enumerate(sigmas):
-            kern = _gaussian_kernel(sigma, radius).astype(vol.dtype)
-            shape = [1, 1, 1, 1, 1]
-            shape[2 + axis] = kern.shape[0]
-            out = jax.lax.conv_general_dilated(
-                out, kern.reshape(shape),
-                window_strides=(1, 1, 1),
-                padding=[(radius, radius) if i == axis else (0, 0)
-                         for i in range(3)],
-                preferred_element_type=jnp.float32).astype(vol.dtype)
-        return out[0, 0]
+            kern = _gaussian_kernel(sigma, radius)
+            size = vol.shape[axis]
+            band = sum(kern[d + radius] * jnp.eye(size, k=d, dtype=jnp.float32)
+                       for d in range(-radius, radius + 1))
+            out = jnp.einsum(subs[axis], band.astype(vol.dtype), out,
+                             preferred_element_type=jnp.float32).astype(vol.dtype)
+        return out
     return f
 
 
