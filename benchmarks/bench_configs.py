@@ -226,7 +226,7 @@ def config4():
     # curve within 0.3% of f32, test_train_parity_dynamics), mask-saving
     # selective remat, bf16 augmentation pipeline
     cfg.activation_dtype = "bfloat16"
-    cfg.remat_policy = "save_attn_masks"
+    cfg.remat_policy = "save_attn_masks_ffn_qkv"
     cfg.augment_dtype = "bfloat16"
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,

@@ -37,7 +37,9 @@ def main():
     ap.add_argument("--model", choices=["vit4", "cross8"], default="vit4")
     ap.add_argument("--tie", choices=["scalar", "full", "none"], default="full")
     ap.add_argument("--remat-policy", default="save_attn",
-                    choices=["save_attn", "save_attn_masks", "full"])
+                    choices=["save_attn", "save_attn_masks",
+                             "save_attn_masks_ffn",
+                             "save_attn_masks_ffn_qkv", "full"])
     ap.add_argument("--act", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--dropout", type=float, default=None,

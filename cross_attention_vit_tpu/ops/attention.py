@@ -63,6 +63,11 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
     qkv = jnp.einsum("bnh,hskd->sbknd", x, kernel,
                      preferred_element_type=jnp.float32)  # (3, B, K, N, D)
     qkv = qkv.astype(x.dtype)
+    # named so remat_policy='save_attn_masks_ffn_qkv' can keep q/k/v for the
+    # flash backward instead of recomputing LN1 + the fused QKV GEMM
+    from jax.ad_checkpoint import checkpoint_name
+
+    qkv = checkpoint_name(qkv, "qkv")
     q, k, v = qkv[0], qkv[1], qkv[2]
     head_dim = q.shape[-1]
     scale = head_dim ** -0.5

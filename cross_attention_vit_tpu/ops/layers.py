@@ -56,26 +56,41 @@ def promote_input(img: jax.Array) -> jax.Array:
     return img
 
 
+# Each policy is an additive set of checkpoint-named residuals the backward
+# recompute may reuse instead of re-deriving:
+#   attn_out     — skip the SDPA kernel (1 × (B,N,H) per layer)
+#   dropout_mask — skip the second RngBitGenerator pass (1 B/elt bool masks)
+#   ffn_hidden   — fc2's input (post-dropout GELU output); 1 × (B,N,mlp)
+#                  per layer (268 MB bf16 at config-4 scale)
+#   qkv          — the flash kernel's q/k/v operands (3 × (B,N,H) per layer)
+# Measured on v5e config-4 (bf16, docs/PERF_r03.md): saving ffn_hidden alone
+# changes nothing (±0.5 ms) — XLA's CSE/remat pass already reuses plain-HLO
+# forward values when HBM headroom allows, so the jaxpr-level recompute of
+# fc1/GELU never actually re-runs.  Saving qkv is a real −24 ms (−3.6%):
+# the flash attention backward is a custom_vjp whose operands sit behind the
+# kernel-call boundary, and THAT recompute (LN1 + the fused QKV GEMM) does
+# re-run unless the residual is named here.
+_REMAT_SAVE_NAMES = {
+    "save_attn": ("attn_out",),
+    "save_attn_masks": ("attn_out", "dropout_mask"),
+    "save_attn_masks_ffn": ("attn_out", "dropout_mask", "ffn_hidden"),
+    "save_attn_masks_ffn_qkv": ("attn_out", "dropout_mask", "ffn_hidden",
+                                "qkv"),
+}
+
+
 def remat_wrap(fn, config):
     """jax.checkpoint with the config's selective-remat policy.
 
-    remat_policy='save_attn' (default) keeps each layer's named 'attn_out'
-    residual (ops.attention) so the backward recompute skips the SDPA
-    kernel — measured on v5e config-4 (ViT-Base depth, batch 32): the flash
-    forward is ~7.8 ms/layer that full remat pays twice.
-    'save_attn_masks' additionally keeps the named 'dropout_mask' bool
-    tensors so the backward recompute skips regenerating every dropout
-    mask's random bits (one byte/element of residual instead of a second
-    RngBitGenerator pass).  remat_policy=None (or 'full') recomputes
+    remat_policy names a set of saved residuals (_REMAT_SAVE_NAMES above);
+    'save_attn' is the default.  Richer policies trade HBM residual bytes for
+    skipped recompute GEMMs — measured on v5e config-4 (ViT-Base depth,
+    batch 32) in docs/PERF_r03.md.  remat_policy=None (or 'full') recomputes
     everything (minimum memory)."""
     rp = config.get("remat_policy", "save_attn")
-    if rp == "save_attn":
-        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
-    elif rp == "save_attn_masks":
-        policy = jax.checkpoint_policies.save_only_these_names(
-            "attn_out", "dropout_mask")
-    else:
-        policy = None
+    names = _REMAT_SAVE_NAMES.get(rp)
+    policy = (jax.checkpoint_policies.save_only_these_names(*names)
+              if names else None)
     return jax.checkpoint(fn, policy=policy)
 
 
@@ -231,6 +246,12 @@ def feed_forward(params: dict, x: jax.Array, dropout_rate: float,
     h = linear(params["fc1"], x, compute_dtype)
     h = gelu(h)
     h = dropout(h, dropout_rate, rng, train)
+    # named post-dropout so remat_policy='save_attn_masks_ffn' saves exactly
+    # what fc2's backward consumes: recompute then skips fc1+GELU (+ the
+    # mask apply), the largest recompute cost in the layer
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = checkpoint_name(h, "ffn_hidden")
     h = linear(params["fc2"], h, compute_dtype)
     h = dropout(h, dropout_rate, rng, train)
     return h

@@ -141,11 +141,12 @@ def test_param_counts_match_reference_formulas():
     assert 55e6 < n < 60e6, n
 
 
-def test_remat_matches_non_remat():
-    """jax.checkpoint over blocks must not change values (fwd or grads)."""
-    import jax.numpy as jnp
-    from cross_attention_vit_tpu.train.trainer import make_train_step
-
+@pytest.mark.parametrize("policy", ["save_attn", "save_attn_masks",
+                                    "save_attn_masks_ffn",
+                                    "save_attn_masks_ffn_qkv", "full"])
+def test_remat_matches_non_remat(policy):
+    """jax.checkpoint over blocks must not change values (fwd or grads),
+    whichever residual-saving policy the backward recompute uses."""
     cfg = small_cross_config({"0": "1", "1": "0"}, 2)
     params = model_cross.init(jax.random.key(0), cfg)
     img, labels = make_batch(cfg)
@@ -155,7 +156,7 @@ def test_remat_matches_non_remat():
         return model_cross.apply(p, cfg_, img, labels, train=True, rng=key)[1]
 
     cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
-    modify_config(cfg_r, {"remat": True})
+    modify_config(cfg_r, {"remat": True, "remat_policy": policy})
     l0 = float(loss(params, cfg))
     l1 = float(loss(params, cfg_r))
     assert l0 == pytest.approx(l1, rel=1e-6)
