@@ -219,14 +219,15 @@ def config4():
                img_aug=True)
     cfg.compute_dtype = "bfloat16"
     cfg.use_flash_attention = True
-    # batch 32 × depth 12 × seq 1025 saves ~190 MB of padded flash qkv per
-    # layer for the backward — past v5e HBM without rematerialization
-    cfg.remat = True
+    # r02 ran remat=True: at f32 the backward residual set exceeded v5e HBM.
+    # With bf16 activation storage (below) the full residual set fits, and
+    # dropping rematerialization stops paying the forward recompute in the
+    # backward: 625.0 → 547.4 ms measured on chip (docs/PERF_r03.md).
+    cfg.remat = False
     # round-3 perf knobs (docs/PERF_r03.md): bf16 activation storage (loss
-    # curve within 0.3% of f32, test_train_parity_dynamics), mask-saving
-    # selective remat, bf16 augmentation pipeline
+    # curve within 0.3% of f32, test_train_parity_dynamics), bf16
+    # augmentation pipeline
     cfg.activation_dtype = "bfloat16"
-    cfg.remat_policy = "save_attn_masks_ffn_qkv"
     cfg.augment_dtype = "bfloat16"
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,

@@ -50,6 +50,10 @@ def main():
                          "masks ('auto': 8 when keep-prob is 8-bit-exact) "
                          "vs exact bernoulli ('none')")
     ap.add_argument("--aug", choices=["on", "off"], default="on")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable jax.checkpoint entirely (vit4 defaults to "
+                         "remat=True); XLA keeps all backward residuals — "
+                         "only viable when the activation set fits HBM")
     ap.add_argument("--aug-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="config.augment_dtype: pipeline dtype for the "
@@ -106,6 +110,8 @@ def main():
     cfg.activation_dtype = args.act
     cfg.augment_dtype = args.aug_dtype
     cfg.remat_policy = args.remat_policy if args.remat_policy != "full" else "full"
+    if args.no_remat:
+        cfg.remat = False
     if args.dropout is not None:
         cfg.dropout = args.dropout
 
