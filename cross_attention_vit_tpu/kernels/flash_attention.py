@@ -22,8 +22,14 @@ Two regimes, switched on sequence length:
     materializes N² either.  This is the growth path SURVEY.md §5 asks for
     (longer sequences at smaller patch sizes) without a ring/Ulysses layer.
 
-N̂ is N padded (sublane multiple 8 short, block multiple long); padded key
-columns are masked to −inf before the softmax so results are exact.
+N̂ is N rounded up (sublane multiple 8 short, block multiple long).  The
+single-block kernels take it as a RAGGED Pallas block over the true-N array
+— Mosaic masks the boundary DMA and drops out-of-bounds stores, and the
+kernel zero-fills the unspecified rows it must not read (_row_zero) — so no
+XLA pad/slice pair surrounds the calls (those cost ~50 ms/step at config 4,
+2026-08-17 trace).  The streaming regime still zero-pads externally to a
+block multiple.  Padded key columns are masked to −inf before the softmax
+so results are exact either way.
 
 Short-sequence backward: fused single-block Pallas kernel (recompute form,
 all (N̂, N̂) intermediates in VMEM) — measured bf16 backward-only on v5e:
@@ -86,12 +92,30 @@ def _dot_prec(dt):
 # forward
 # ---------------------------------------------------------------------------
 
+def _row_zero(x: jax.Array, n_valid: int) -> jax.Array:
+    """Zero rows ≥ n_valid of an (N̂, D̂) tile.
+
+    Ragged-N blocks (block taller than the array's N) read unspecified values
+    in the out-of-bounds rows; zeroing them reproduces exactly the math of an
+    externally zero-padded operand (and guards the 0·NaN → NaN hazard in the
+    matmuls that contract against masked-out probability columns).  One VPU
+    select over N̂·D̂ elements — noise next to the N̂² softmax."""
+    if x.shape[0] == n_valid:
+        return x
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row < n_valid, x, 0)
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int):
     """Single-block path: the whole (N̂, N̂) score matrix fits VMEM — fastest
-    shape for the live geometry (N ≈ 513)."""
+    shape for the live geometry (N ≈ 513).
+
+    Operands arrive as ragged blocks (block N̂ = N rounded up to the sublane
+    quantum ≥ the array's true N) — no XLA-level pad/slice pair around the
+    call; the 2026-08-17 config-4 trace priced those at ~50 ms/step."""
     q = q_ref[0, 0]  # (N̂, D̂)
     k = k_ref[0, 0]
-    v = v_ref[0, 0]
+    v = _row_zero(v_ref[0, 0], n_valid)
     dots = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -172,11 +196,21 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     d_pad = _d_pad(D)
     single = N <= _SINGLE_BLOCK_MAX
     n_pad = _round_up(N, 8) if single else _round_up(N, _BLOCK_Q)
-    if n_pad != N or d_pad != D:
-        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
+    if d_pad != D:
+        # D is the contraction dim of QKᵀ — garbage lanes would corrupt valid
+        # scores, so a non-aligned D keeps the external zero-pad (never hit
+        # by the live models, D=64).
+        pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - D)]
         q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+    if not single and n_pad != N:
+        q, k, v = (jnp.pad(t, [(0, 0), (0, 0), (0, n_pad - N), (0, 0)])
+                   for t in (q, k, v))
 
     if single:
+        # Ragged blocks: the block is N̂ = round_up(N, 8) rows tall over an
+        # N-row array — Mosaic masks the boundary DMA, out-of-bounds stores
+        # are dropped, and the kernel zero-fills the garbage rows it must not
+        # read (see _row_zero).  No XLA pad/slice pair around the call.
         assert not with_lse, "lse is only emitted by the streaming kernel"
         grid = (B, K)
         spec = pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h: (b, h, 0, 0),
@@ -186,7 +220,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
             grid=grid,
             in_specs=[spec, spec, spec],
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, K, N, d_pad), q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel")),
             cost_estimate=pl.CostEstimate(
@@ -195,7 +229,7 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
                 transcendentals=B * K * n_pad * n_pad),
             interpret=_interpret(),
         )(q, k, v)
-        return out[:, :, :N, :D]
+        return out if d_pad == D else out[..., :D]
 
     # n_pad is rounded to _BLOCK_Q; a KV block size that doesn't also divide
     # it would silently truncate the key range (the grid below floors) —
@@ -260,10 +294,15 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
     and casts P to v.dtype before AV) and XLA's own backward of the bf16
     einsum formulation.  Softmax and the ds elementwise algebra stay f32."""
     f32 = jnp.float32
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    # Ragged blocks (see _attn_kernel): zero the unspecified out-of-bounds
+    # rows so the cross-row accumulations (dv = Pᵀ dO, dk = dsᵀ q) see
+    # exactly the externally-zero-padded math — a garbage (worst case NaN)
+    # row in any operand would otherwise leak into valid dk/dv rows through
+    # the 0·NaN hazard.
+    q = _row_zero(q_ref[0, 0], n_valid)
+    k = _row_zero(k_ref[0, 0], n_valid)
+    v = _row_zero(v_ref[0, 0], n_valid)
+    do = _row_zero(do_ref[0, 0], n_valid)
 
     s = jax.lax.dot_general(q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=f32,
@@ -301,13 +340,14 @@ def _flash_backward_pallas(q, k, v, do, scale):
     B, K, N, D = q.shape
     n_pad = _round_up(N, 8)
     d_pad = _d_pad(D)
-    if n_pad != N or d_pad != D:
-        pad = [(0, 0), (0, 0), (0, n_pad - N), (0, d_pad - D)]
+    if d_pad != D:  # D is contracted in QKᵀ — see _flash_forward
+        pad = [(0, 0), (0, 0), (0, 0), (0, d_pad - D)]
         q, k, v, do = (jnp.pad(t, pad) for t in (q, k, v, do))
 
+    # ragged N blocks; the kernel zero-fills out-of-bounds rows (_row_zero)
     spec = pl.BlockSpec((1, 1, n_pad, d_pad), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((B, K, n_pad, d_pad), q.dtype)
+    shape = jax.ShapeDtypeStruct((B, K, N, d_pad), q.dtype)
     dq, dk, dv = pl.pallas_call(
         partial(_attn_bwd_kernel, scale=scale, n_valid=N),
         grid=(B, K),
@@ -327,7 +367,9 @@ def _flash_backward_pallas(q, k, v, do, scale):
             transcendentals=B * K * n_pad * n_pad),
         interpret=_interpret(),
     )(q, k, v, do)
-    return (dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D])
+    if d_pad != D:
+        return (dq[..., :D], dk[..., :D], dv[..., :D])
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +543,324 @@ def _flash_backward_blocked(q, k, v, o, lse, do, scale):
     )(q, k, v, do, lse_b, delta_b)
 
     return (dq[:, :, :N, :D], dk[:, :, :N, :D], dv[:, :, :N, :D])
+
+
+# ---------------------------------------------------------------------------
+# transposed-operand ("tn") single-block kernels: (B, K, D, N) operands
+# ---------------------------------------------------------------------------
+#
+# Why a second orientation exists: Pallas mandates default (row-major)
+# layouts, so a (B, K, N, D) operand must arrive D-minor — but the QKV
+# projection GEMM on TPU naturally writes its output N-MINOR (physically
+# (b, k, d, n); XLA fuses that transpose into the GEMM epilogue for free,
+# e.g. the cross-attention head-in fusions in the 2026-08-17 config-4
+# trace), and XLA then inserts a real HBM round-trip copy per operand to
+# re-materialize D-minor for the kernel (~55 ms/step at config 4: 28 ms of
+# %copy + 15 ms slice fusions + 15 ms add fusions).  Declaring the kernel
+# operands as LOGICAL (B, K, D, N) makes the row-major layout Pallas wants
+# identical to the physical layout the GEMMs want on both sides of the
+# kernel, and the copies become bitcasts.
+#
+# In-kernel everything stays expressible as dot_general with no transposes:
+#     s     = qᵀ·k        contract D      (Nq, Nk)
+#     outᵀ  = v·pᵀ        contract Nk     (D, Nq)
+#     delta = (do⊙o)ᵀ·1   contract D      (Nq, 1)   (MXU ones-vector trick)
+#     dvᵀ   = do·p        contract Nq     (D, Nk)
+#     dp    = doᵀ·v       contract D      (Nq, Nk)
+#     dqᵀ   = k·dsᵀ       contract Nk     (D, Nq)
+#     dkᵀ   = q·ds        contract Nq     (D, Nk)
+# The softmax keeps its (Nq, Nk) orientation — row reductions unchanged.
+# N sits on the LANE dim and the blocks carry the FULL array N (see
+# _tn_specs) — Mosaic pads the tiles internally with correct masking, so
+# the _col_zero / -inf guards below only activate if a caller ever blocks
+# the lane dim (today they are compile-time no-ops: n_valid == N).
+
+
+def _col_zero(x: jax.Array, n_valid: int) -> jax.Array:
+    """Zero columns ≥ n_valid of a (D̂, N̂) tile (see _row_zero)."""
+    if x.shape[1] == n_valid:
+        return x
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(col < n_valid, x, 0)
+
+
+def _attn_kernel_tn(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                    n_valid: int):
+    o_ref[0, 0] = _tn_fwd_math(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                               scale, n_valid).astype(o_ref.dtype)
+
+
+def _tn_fwd_math(q, k, v, scale: float, n_valid: int):
+    """(D̂, N̂) array-level forward, shared by the split and stacked kernels."""
+    v = _col_zero(v, n_valid)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_prec(q.dtype)) * scale        # (N̂q, N̂k)
+    if n_valid < s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jax.lax.dot_general(                       # v·pᵀ → (D̂, N̂q)
+        v, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_dot_prec(v.dtype))
+
+
+def _attn_bwd_kernel_tn(q_ref, k_ref, v_ref, do_ref,
+                        dq_ref, dk_ref, dv_ref, *,
+                        scale: float, n_valid: int):
+    dq, dk, dv = _tn_bwd_math(q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+                              do_ref[0, 0], scale, n_valid)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int):
+    """(D̂, N̂) array-level backward, shared by the split and stacked kernels."""
+    f32 = jnp.float32
+    q = _col_zero(q, n_valid)             # (D̂, N̂)
+    k = _col_zero(k, n_valid)
+    v = _col_zero(v, n_valid)
+    do = _col_zero(do, n_valid)
+
+    s = jax.lax.dot_general(q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=f32,
+                            precision=_dot_prec(q.dtype)) * scale  # (Nq, Nk)
+    if n_valid < s.shape[-1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    pb = p.astype(v.dtype)
+
+    o = jax.lax.dot_general(v, pb, dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=f32,
+                            precision=_dot_prec(v.dtype))   # (D̂, N̂q)
+    # delta[i] = Σ_d do[d,i]·o[d,i] — contract D on the MXU against a ones
+    # vector instead of transposing a (1, N̂) sublane reduction into (N̂, 1)
+    dd = (do.astype(f32) * o)
+    ones = jnp.ones((dd.shape[0], 8), f32)
+    delta = jax.lax.dot_general(
+        dd, ones, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32,
+        precision=jax.lax.Precision.HIGHEST)[:, :1]         # (N̂q, 1)
+    # HIGHEST: dd is f32 and a default-precision pass would truncate it to
+    # bf16 on the MXU; this dot is (N̂, D̂)·(D̂, 8) — noise either way in time
+
+    dv = jax.lax.dot_general(do, pb,  # dvᵀ[d,j] = Σ_i do[d,i]·p[i,j]
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=_dot_prec(v.dtype))  # (D̂, N̂k)
+    dp = jax.lax.dot_general(do, v,
+                             dimension_numbers=(((0,), (0,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=_dot_prec(v.dtype))  # (N̂q, N̂k)
+    ds = (p * (dp - delta) * scale).astype(v.dtype)
+    dq = jax.lax.dot_general(k, ds,
+                             dimension_numbers=(((1,), (1,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=_dot_prec(k.dtype))  # (D̂, N̂q)
+    dk = jax.lax.dot_general(q, ds,
+                             dimension_numbers=(((1,), (0,)), ((), ())),
+                             preferred_element_type=f32,
+                             precision=_dot_prec(q.dtype))  # (D̂, N̂k)
+    return dq, dk, dv
+
+
+def _tn_specs(B, K, D, N):
+    # The LANE dim of a Pallas block must be 128-divisible or the FULL array
+    # dim — so the tn blocks carry the true N and Mosaic handles the
+    # internal tile padding itself (masking padded lanes in contractions and
+    # reductions); no explicit ragged handling is needed in this
+    # orientation.  The sublane dim D must be 8-divisible (asserted).
+    spec = pl.BlockSpec((1, 1, D, N), lambda b, h: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return spec
+
+
+def _flash_forward_tn(q, k, v, scale):
+    B, K, D, N = q.shape
+    assert D % _D_ALIGN == 0, "tn kernel requires an aligned head dim"
+    spec = _tn_specs(B, K, D, N)
+    n_pad = _round_up(N, _LANES)
+    return pl.pallas_call(
+        partial(_attn_kernel_tn, scale=scale, n_valid=N),
+        grid=(B, K),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, D, N), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * (n_pad * n_pad * D * 2),
+            bytes_accessed=4 * B * K * n_pad * D * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(q, k, v)
+
+
+def _flash_backward_tn(q, k, v, do, scale):
+    B, K, D, N = q.shape
+    assert D % _D_ALIGN == 0, "tn kernel requires an aligned head dim"
+    n_pad = _round_up(N, _LANES)
+    spec = _tn_specs(B, K, D, N)
+    shape = jax.ShapeDtypeStruct((B, K, D, N), q.dtype)
+    return pl.pallas_call(
+        partial(_attn_bwd_kernel_tn, scale=scale, n_valid=N),
+        grid=(B, K),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=(24 * 1024 * 1024
+                              if q.dtype == jnp.float32 else None)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * K * n_pad * n_pad * D,
+            bytes_accessed=7 * B * K * n_pad * D * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(q, k, v, do)
+
+
+# --- stacked-QKV entry point: one (3, B, K, D, N) operand/cotangent --------
+#
+# The fused projection emits qkv as ONE tensor; feeding it to the kernel
+# unsplit (block (3,1,1,D,N)) and emitting dqkv unsplit removes the XLA
+# slice fusions on the forward and the concat ("add_bitcast") fusions on the
+# backward — ~16 ms/step at config 4 (2026-08-17 HLO study).
+
+
+def _attn_kernel_qkv_tn(qkv_ref, o_ref, *, scale: float, n_valid: int):
+    # one whole-block load, then array indexing — Mosaic cannot slice a
+    # sub-ref on an unaligned lane dim, but register-level indexing is free
+    qkv = qkv_ref[...]                    # (3, 1, 1, D̂, N̂)
+    out = _tn_fwd_math(qkv[0, 0, 0], qkv[1, 0, 0], qkv[2, 0, 0],
+                       scale, n_valid)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _attn_bwd_kernel_qkv_tn(qkv_ref, do_ref, dqkv_ref, *,
+                            scale: float, n_valid: int):
+    qkv = qkv_ref[...]
+    dq, dk, dv = _tn_bwd_math(qkv[0, 0, 0], qkv[1, 0, 0], qkv[2, 0, 0],
+                              do_ref[0, 0], scale, n_valid)
+    dqkv_ref[...] = jnp.stack([dq, dk, dv]
+                              ).astype(dqkv_ref.dtype)[:, None, None]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
+def flash_attention_qkv_tn(qkv: jax.Array, scale: float) -> jax.Array:
+    """Fused SDPA on a stacked (3, B, K, D, N) qkv operand → (B, K, D, N).
+
+    The model's flash path (ops/attention.py self_attention) uses this form;
+    see flash_attention_tn for the orientation rationale."""
+    if qkv.shape[4] > _SINGLE_BLOCK_MAX:
+        return flash_attention_tn(qkv[0], qkv[1], qkv[2], scale)
+    return _flash_forward_qkv_tn(qkv, scale)
+
+
+def _flash_forward_qkv_tn(qkv, scale):
+    _, B, K, D, N = qkv.shape
+    assert D % _D_ALIGN == 0, "tn kernel requires an aligned head dim"
+    qkv_spec = pl.BlockSpec((3, 1, 1, D, N), lambda b, h: (0, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = _tn_specs(B, K, D, N)
+    n_pad = _round_up(N, _LANES)
+    return pl.pallas_call(
+        partial(_attn_kernel_qkv_tn, scale=scale, n_valid=N),
+        grid=(B, K),
+        in_specs=[qkv_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, K, D, N), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * (n_pad * n_pad * D * 2),
+            bytes_accessed=4 * B * K * n_pad * D * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(qkv)
+
+
+def _qkv_tn_fwd(qkv, scale):
+    return flash_attention_qkv_tn(qkv, scale), qkv
+
+
+def _qkv_tn_bwd(scale, qkv, g):
+    _, B, K, D, N = qkv.shape
+    if N > _SINGLE_BLOCK_MAX:
+        bnd = lambda t: jnp.swapaxes(t, 2, 3)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_, scale),
+            bnd(qkv[0]), bnd(qkv[1]), bnd(qkv[2]))
+        dq, dk, dv = vjp(bnd(g))
+        return (jnp.stack([bnd(dq), bnd(dk), bnd(dv)]),)
+    assert D % _D_ALIGN == 0, "tn kernel requires an aligned head dim"
+    n_pad = _round_up(N, _LANES)
+    qkv_spec = pl.BlockSpec((3, 1, 1, D, N), lambda b, h: (0, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = _tn_specs(B, K, D, N)
+    dqkv = pl.pallas_call(
+        partial(_attn_bwd_kernel_qkv_tn, scale=scale, n_valid=N),
+        grid=(B, K),
+        in_specs=[qkv_spec, do_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((3, B, K, D, N), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # f32 at N̂=1025: three (N̂,N̂) f32 buffers + HIGHEST-precision
+            # operand splits + the whole stacked qkv block ≈ 27 MB scoped
+            # (measured OOM at 24 MB); v5e has 128 MB physical VMEM
+            vmem_limit_bytes=(32 * 1024 * 1024
+                              if qkv.dtype == jnp.float32 else None)),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * K * n_pad * n_pad * D,
+            bytes_accessed=7 * B * K * n_pad * D * 4,
+            transcendentals=B * K * n_pad * n_pad),
+        interpret=_interpret(),
+    )(qkv, g)
+    return (dqkv,)
+
+
+flash_attention_qkv_tn.defvjp(_qkv_tn_fwd, _qkv_tn_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_tn(q: jax.Array, k: jax.Array, v: jax.Array,
+                       scale: float) -> jax.Array:
+    """Fused SDPA on TRANSPOSED (B, K, D, N) operands → (B, K, D, N) output.
+
+    Same math as flash_attention; this orientation matches the physical
+    layout the surrounding GEMMs produce/consume so XLA inserts no copies.
+    Long sequences (N > _SINGLE_BLOCK_MAX) fall back to the streaming ND
+    path via two transposes — amortized by the O(N²) kernel work there."""
+    if q.shape[3] > _SINGLE_BLOCK_MAX:
+        bnd = lambda t: jnp.swapaxes(t, 2, 3)
+        return bnd(flash_attention(bnd(q), bnd(k), bnd(v), scale))
+    return _flash_forward_tn(q, k, v, scale)
+
+
+def _tn_fwd(q, k, v, scale):
+    if q.shape[3] > _SINGLE_BLOCK_MAX:
+        return flash_attention_tn(q, k, v, scale), (q, k, v)
+    return _flash_forward_tn(q, k, v, scale), (q, k, v)
+
+
+def _tn_bwd(scale, residuals, g):
+    q, k, v = residuals
+    if q.shape[3] > _SINGLE_BLOCK_MAX:
+        bnd = lambda t: jnp.swapaxes(t, 2, 3)
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: flash_attention(q_, k_, v_, scale),
+            bnd(q), bnd(k), bnd(v))
+        dq, dk, dv = vjp(bnd(g))
+        return bnd(dq), bnd(dk), bnd(dv)
+    return _flash_backward_tn(q, k, v, g, scale)
+
+
+flash_attention_tn.defvjp(_tn_fwd, _tn_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -60,34 +60,43 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     kernel = params["qkv"]["kernel"].astype(x.dtype)
-    qkv = jnp.einsum("bnh,hskd->sbknd", x, kernel,
-                     preferred_element_type=jnp.float32)  # (3, B, K, N, D)
-    qkv = qkv.astype(x.dtype)
-    # named so remat_policy='save_attn_masks_ffn_qkv' can keep q/k/v for the
-    # flash backward instead of recomputing LN1 + the fused QKV GEMM
     from jax.ad_checkpoint import checkpoint_name
-
-    qkv = checkpoint_name(qkv, "qkv")
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    head_dim = q.shape[-1]
-    scale = head_dim ** -0.5
 
     if impl == "flash":
-        from ..kernels.flash_attention import flash_attention
-        out = flash_attention(q, k, v, scale)
+        # Transposed orientation: the QKV GEMM's natural TPU output layout
+        # is N-minor, which is exactly the row-major layout of a logical
+        # (…, D, N) array — feeding the tn kernel this way removes the
+        # per-layer HBM relayout copies XLA otherwise inserts at the Pallas
+        # boundary (~55 ms/step at config 4, 2026-08-17 trace).
+        from ..kernels.flash_attention import flash_attention_qkv_tn
+        qkv = jnp.einsum("bnh,hskd->sbkdn", x, kernel,
+                         preferred_element_type=jnp.float32)  # (3,B,K,D,N)
+        qkv = qkv.astype(x.dtype)
+        # named so remat_policy='save_attn_masks_ffn_qkv' can keep q/k/v for
+        # the flash backward instead of recomputing LN1 + the fused QKV GEMM
+        qkv = checkpoint_name(qkv, "qkv")
+        scale = qkv.shape[3] ** -0.5
+        # stacked-qkv form: no XLA split on the forward / concat on the
+        # backward around the kernel call
+        out = checkpoint_name(flash_attention_qkv_tn(qkv, scale), "attn_out")
+        out_k = params["out"]["kernel"].astype(out.dtype)
+        y = jnp.einsum("bkdn,kdh->bnh", out, out_k,
+                       preferred_element_type=jnp.float32)
     else:
-        out = _sdpa(q, k, v, scale)
-    # Named for selective rematerialization: saving the attention output
-    # (config remat_policy='save_attn') lets the backward-pass recompute skip
-    # the SDPA kernel — the most expensive op in the layer — at the cost of
-    # one (B, N, H)-sized residual per layer (67 MB bf16 at batch 32).
-    from jax.ad_checkpoint import checkpoint_name
-
-    out = checkpoint_name(out, "attn_out")
-
-    out_k = params["out"]["kernel"].astype(out.dtype)
-    y = jnp.einsum("bknd,kdh->bnh", out, out_k,
-                   preferred_element_type=jnp.float32)
+        qkv = jnp.einsum("bnh,hskd->sbknd", x, kernel,
+                         preferred_element_type=jnp.float32)  # (3,B,K,N,D)
+        qkv = qkv.astype(x.dtype)
+        qkv = checkpoint_name(qkv, "qkv")
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scale = q.shape[-1] ** -0.5
+        # Named for selective rematerialization: config remat_policy=
+        # 'save_attn' keeps the attention output so the backward recompute
+        # skips the SDPA — one (B, N, H) residual per layer (67 MB bf16 at
+        # batch 32).
+        out = checkpoint_name(_sdpa(q, k, v, scale), "attn_out")
+        out_k = params["out"]["kernel"].astype(out.dtype)
+        y = jnp.einsum("bknd,kdh->bnh", out, out_k,
+                       preferred_element_type=jnp.float32)
     y = (y + params["out"]["bias"].astype(jnp.float32)).astype(in_dtype)
     y = dropout(y, dropout_rate, rng, train)
     return y.astype(in_dtype)

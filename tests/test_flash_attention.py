@@ -197,3 +197,89 @@ def test_flash_blocked_bwd_multi_tile():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# transposed-operand ("tn") kernel: (B, K, D, N) — the layout-native variant
+# the flash model path uses (ops/attention.py self_attention impl="flash")
+# ---------------------------------------------------------------------------
+
+def _tn(t):
+    return jnp.swapaxes(t, 2, 3)
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 2, 64, 64),     # aligned
+    (2, 4, 513, 64),    # live geometry (ragged lane dim in tn orientation)
+    (1, 1, 9, 32),      # tiny ragged
+    (1, 2, 1025, 64),   # concat-ViT geometry
+])
+def test_flash_tn_matches_reference(shape):
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        flash_attention_tn)
+
+    B, K, N, D = shape
+    rng = np.random.default_rng(11)
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    scale = D ** -0.5
+    out = flash_attention_tn(_tn(q), _tn(k), _tn(v), scale)
+    want = _reference_sdpa(q, k, v, scale)
+    assert out.shape == (B, K, D, N)
+    np.testing.assert_allclose(np.asarray(_tn(out)), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n", [513, 1025, 1100])
+def test_flash_tn_gradients_match_reference(n):
+    """tn backward (fused kernel below the cutoff, streaming fallback above)
+    against the dense VJP."""
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        flash_attention_tn)
+
+    rng = np.random.default_rng(12)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, n, 32)).astype(np.float32))
+               for _ in range(3))
+    scale = 32 ** -0.5
+
+    def loss_f(q, k, v):
+        return jnp.sum(flash_attention_tn(_tn(q), _tn(k), _tn(v), scale) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_sdpa(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("n", [513, 1025, 1100])
+def test_flash_qkv_tn_matches_reference(n):
+    """Stacked-qkv tn form (the model path): forward and gradients against
+    the dense reference."""
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        flash_attention_qkv_tn)
+
+    rng = np.random.default_rng(13)
+    q, k, v = (jnp.asarray(rng.normal(size=(1, 2, n, 32)).astype(np.float32))
+               for _ in range(3))
+    scale = 32 ** -0.5
+    qkv = jnp.stack([_tn(q), _tn(k), _tn(v)])
+    out = flash_attention_qkv_tn(qkv, scale)
+    want = _reference_sdpa(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(_tn(out)), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+    def loss_f(qkv):
+        return jnp.sum(flash_attention_qkv_tn(qkv, scale) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(_reference_sdpa(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_f)(qkv)
+    gr = jax.grad(lambda q, k, v: loss_r(q, k, v), argnums=(0, 1, 2))(q, k, v)
+    for s, b in enumerate(gr):
+        np.testing.assert_allclose(np.asarray(_tn(gf[s])), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)

@@ -165,3 +165,42 @@ def test_augment_compact_matches_vmap_onchip():
     np.testing.assert_allclose(compact, dense, atol=1e-4 * scale)
     np.testing.assert_array_equal(compact == np.asarray(imgs),
                                   dense == np.asarray(imgs))
+
+
+@pytest.mark.parametrize("n", [513, 1025])
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_flash_qkv_tn_matches_xla_onchip(n, dtype):
+    """The stacked-qkv transposed-operand form — the live model path
+    (ops/attention.py impl='flash') — forward AND gradients on chip."""
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        flash_attention_qkv_tn)
+
+    dt = jnp.dtype(dtype)
+    q, k, v = _qkv(n, dt, seed=3)
+    scale = 64 ** -0.5
+    tn = lambda t: jnp.swapaxes(t, 2, 3)
+    qkv = jnp.stack([tn(q), tn(k), tn(v)])
+
+    out = np.asarray(tn(jax.jit(flash_attention_qkv_tn, static_argnums=1)(
+        qkv, scale)), np.float32)
+    ref = np.asarray(jax.jit(_sdpa_ref, static_argnums=3)(q, k, v, scale),
+                     np.float32)
+    dev = np.abs(out - ref).max() / np.abs(ref).max()
+    tol = 2e-4 if dtype == "float32" else 2e-2
+    assert dev < tol, f"tn fwd N={n} {dtype}: {dev:.2e} >= {tol}"
+
+    def loss_tn(qkv):
+        return jnp.sum(flash_attention_qkv_tn(qkv, scale
+                                              ).astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_sdpa_ref(q, k, v, scale).astype(jnp.float32) ** 2)
+
+    g_tn = jax.jit(jax.grad(loss_tn))(qkv)
+    g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+    for s, (gr, name) in enumerate(zip(g_ref, "qkv")):
+        gf = np.asarray(tn(g_tn[s]), np.float32)
+        gr = np.asarray(gr, np.float32)
+        dev = np.abs(gf - gr).max() / (np.abs(gr).max() + 1e-9)
+        tol = 1e-3 if dtype == "float32" else 3e-2
+        assert dev < tol, f"tn d{name} N={n} {dtype}: {dev:.2e} >= {tol}"
