@@ -617,8 +617,13 @@ def _attn_bwd_kernel_tn(q_ref, k_ref, v_ref, do_ref,
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
-def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int):
-    """(D̂, N̂) array-level backward, shared by the split and stacked kernels."""
+def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int, o=None):
+    """(D̂, N̂) array-level backward, shared by the split and stacked kernels.
+
+    When the caller passes the SAVED forward output `o`, the v·pᵀ recompute
+    is skipped — one of the six MXU passes.  The stacked model path does:
+    `out` is already live in HBM as the out-projection wgrad's residual, so
+    saving it costs no extra memory."""
     f32 = jnp.float32
     q = _col_zero(q, n_valid)             # (D̂, N̂)
     k = _col_zero(k, n_valid)
@@ -634,9 +639,11 @@ def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int):
     p = jax.nn.softmax(s, axis=-1)
     pb = p.astype(v.dtype)
 
-    o = jax.lax.dot_general(v, pb, dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=f32,
-                            precision=_dot_prec(v.dtype))   # (D̂, N̂q)
+    if o is None:
+        o = jax.lax.dot_general(v, pb,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=f32,
+                                precision=_dot_prec(v.dtype))  # (D̂, N̂q)
     # delta[i] = Σ_d do[d,i]·o[d,i] — contract D on the MXU against a ones
     # vector instead of transposing a (1, N̂) sublane reduction into (N̂, 1)
     dd = (do.astype(f32) * o)
@@ -741,11 +748,12 @@ def _attn_kernel_qkv_tn(qkv_ref, o_ref, *, scale: float, n_valid: int):
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
-def _attn_bwd_kernel_qkv_tn(qkv_ref, do_ref, dqkv_ref, *,
+def _attn_bwd_kernel_qkv_tn(qkv_ref, do_ref, o_ref, dqkv_ref, *,
                             scale: float, n_valid: int):
     qkv = qkv_ref[...]
     dq, dk, dv = _tn_bwd_math(qkv[0, 0, 0], qkv[1, 0, 0], qkv[2, 0, 0],
-                              do_ref[0, 0], scale, n_valid)
+                              do_ref[0, 0], scale, n_valid,
+                              o=o_ref[0, 0])
     dqkv_ref[...] = jnp.stack([dq, dk, dv]
                               ).astype(dqkv_ref.dtype)[:, None, None]
 
@@ -785,10 +793,15 @@ def _flash_forward_qkv_tn(qkv, scale):
 
 
 def _qkv_tn_fwd(qkv, scale):
-    return flash_attention_qkv_tn(qkv, scale), qkv
+    out = flash_attention_qkv_tn(qkv, scale)
+    # `out` is already kept alive as the out-projection wgrad's residual, so
+    # saving it here is free — and lets the backward kernel skip the v·pᵀ
+    # output recompute (one of its six MXU passes)
+    return out, (qkv, out)
 
 
-def _qkv_tn_bwd(scale, qkv, g):
+def _qkv_tn_bwd(scale, residuals, g):
+    qkv, out = residuals
     _, B, K, D, N = qkv.shape
     if N > _SINGLE_BLOCK_MAX:
         bnd = lambda t: jnp.swapaxes(t, 2, 3)
@@ -805,7 +818,7 @@ def _qkv_tn_bwd(scale, qkv, g):
     dqkv = pl.pallas_call(
         partial(_attn_bwd_kernel_qkv_tn, scale=scale, n_valid=N),
         grid=(B, K),
-        in_specs=[qkv_spec, do_spec],
+        in_specs=[qkv_spec, do_spec, do_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((3, B, K, D, N), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -820,7 +833,7 @@ def _qkv_tn_bwd(scale, qkv, g):
             bytes_accessed=7 * B * K * n_pad * D * 4,
             transcendentals=B * K * n_pad * n_pad),
         interpret=_interpret(),
-    )(qkv, g)
+    )(qkv, g, out)
     return (dqkv,)
 
 
