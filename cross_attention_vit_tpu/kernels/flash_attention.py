@@ -600,11 +600,19 @@ def _tn_fwd_math(q, k, v, scale: float, n_valid: int):
     if n_valid < s.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    return jax.lax.dot_general(                       # v·pᵀ → (D̂, N̂q)
-        v, p, dimension_numbers=(((1,), (1,)), ((), ())),
+    # softmax with the normalizing division folded PAST the AV matmul: the
+    # div is an (N̂, N̂) VPU pass; scaling the (D̂, N̂) output by the per-row
+    # reciprocal is N̂·D̂ — and numerically slightly better (the sum of
+    # e·v is scaled once in f32 instead of rounding each p to bf16 after
+    # division).
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)      # (N̂q, 1)
+    out = jax.lax.dot_general(                        # v·eᵀ → (D̂, N̂q)
+        v, e.astype(v.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_dot_prec(v.dtype))
+    return out * r.reshape(1, -1)
 
 
 def _attn_bwd_kernel_tn(q_ref, k_ref, v_ref, do_ref,
@@ -636,14 +644,19 @@ def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int, o=None):
     if n_valid < s.shape[-1]:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_valid, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
-    pb = p.astype(v.dtype)
+    # normalization folded out of the (N̂, N̂) plane (see _tn_fwd_math):
+    # e is the unnormalized softmax numerator, r the per-q-row reciprocal
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)                     # (N̂q, N̂k)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)      # (N̂q, 1)
+    eb = e.astype(v.dtype)
 
     if o is None:
-        o = jax.lax.dot_general(v, pb,
+        o = jax.lax.dot_general(v, eb,
                                 dimension_numbers=(((1,), (1,)), ((), ())),
                                 preferred_element_type=f32,
-                                precision=_dot_prec(v.dtype))  # (D̂, N̂q)
+                                precision=_dot_prec(v.dtype)
+                                ) * r.reshape(1, -1)   # (D̂, N̂q)
     # delta[i] = Σ_d do[d,i]·o[d,i] — contract D on the MXU against a ones
     # vector instead of transposing a (1, N̂) sublane reduction into (N̂, 1)
     dd = (do.astype(f32) * o)
@@ -655,7 +668,10 @@ def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int, o=None):
     # HIGHEST: dd is f32 and a default-precision pass would truncate it to
     # bf16 on the MXU; this dot is (N̂, D̂)·(D̂, 8) — noise either way in time
 
-    dv = jax.lax.dot_general(do, pb,  # dvᵀ[d,j] = Σ_i do[d,i]·p[i,j]
+    # dvᵀ[d,j] = Σ_i do[d,i]·p[i,j] = Σ_i (do[d,i]·r[i])·e[i,j] — the row
+    # reciprocal rides on the (D̂, N̂) do instead of an (N̂, N̂) division
+    do_r = (do.astype(f32) * r.reshape(1, -1)).astype(v.dtype)
+    dv = jax.lax.dot_general(do_r, eb,
                              dimension_numbers=(((1,), (0,)), ((), ())),
                              preferred_element_type=f32,
                              precision=_dot_prec(v.dtype))  # (D̂, N̂k)
@@ -663,7 +679,8 @@ def _tn_bwd_math(q, k, v, do, scale: float, n_valid: int, o=None):
                              dimension_numbers=(((0,), (0,)), ((), ())),
                              preferred_element_type=f32,
                              precision=_dot_prec(v.dtype))  # (N̂q, N̂k)
-    ds = (p * (dp - delta) * scale).astype(v.dtype)
+    # ds = p⊙(dp − delta)·scale with p = e·r folded as a row broadcast
+    ds = (e * ((dp - delta) * (r * scale))).astype(v.dtype)
     dq = jax.lax.dot_general(k, ds,
                              dimension_numbers=(((1,), (1,)), ((), ())),
                              preferred_element_type=f32,
@@ -838,6 +855,175 @@ def _qkv_tn_bwd(scale, residuals, g):
 
 
 flash_attention_qkv_tn.defvjp(_qkv_tn_fwd, _qkv_tn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused qkv-projection + attention (forward unchanged; megakernel backward)
+# ---------------------------------------------------------------------------
+#
+# The last structural cost at the kernel boundary (2026-08-18 trace) is the
+# backward's dqkv tensor: XLA materializes it in HBM TWICE — once d-minor
+# for the wgrad GEMM, once for the dgrad (~24 ms/step of relayout copies at
+# config 4).  Widening the differentiated unit to x·Wqkv → attention lets
+# ONE Pallas backward program per (batch, head) keep dq/dk/dv in VMEM and
+# contract them immediately:
+#     dx  (B, N, H)  — accumulated over the head grid axis in a f32 scratch,
+#                      written once per batch row (k is 'arbitrary'/serial)
+#     dW  (K, H, 3D) — accumulated over the batch grid axis in a persistent
+#                      f32 scratch, flushed on the last batch row
+# dqkv never exists in HBM.  bf16-only (the training path): the f32 parity
+# path keeps the unfused einsum AD, whose residual set in f32 would blow the
+# scoped-VMEM budget here anyway.
+
+
+def _fused_qkv_bwd_kernel(qkv_ref, g_ref, o_ref, x_ref, w_ref,
+                          dx_ref, dw_ref, dx_acc, dw_acc, *,
+                          scale: float, n_valid: int):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    n_h = pl.num_programs(1)
+    f32 = jnp.float32
+
+    qkv = qkv_ref[...]                     # (3, 1, 1, D̂, N̂)
+    dq, dk, dv = _tn_bwd_math(qkv[0, 0, 0], qkv[1, 0, 0], qkv[2, 0, 0],
+                              g_ref[0, 0], scale, n_valid, o=o_ref[0, 0])
+    dstack = jnp.concatenate([dq, dk, dv], axis=0)      # (3D̂, N̂) f32
+    dsb = dstack.astype(qkv.dtype)
+
+    x = x_ref[0]                           # (N̂, H) input dtype
+    wk = w_ref[0]                          # (3D̂, H)
+
+    @pl.when(h == 0)
+    def _init_dx():
+        dx_acc[...] = jnp.zeros(dx_acc.shape, f32)
+
+    # dx[n, :] += Σ_{s,d} dqkv[sd, n] · W[sd, :]
+    dx_acc[...] += jax.lax.dot_general(
+        dsb, wk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=f32, precision=_dot_prec(dsb.dtype))
+
+    @pl.when(h == n_h - 1)
+    def _emit_dx():
+        dx_ref[0] = dx_acc[...].astype(dx_ref.dtype)
+
+    @pl.when(b == 0)
+    def _init_dw():
+        dw_acc[h] = jnp.zeros(dw_acc.shape[1:], f32)
+
+    # dW_k[:, sd] += Σ_n x[n, :]ᵀ · dqkv[sd, n]ᵀ
+    dw_acc[h] += jax.lax.dot_general(
+        x, dsb, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=f32, precision=_dot_prec(dsb.dtype))
+
+    @pl.when(b == n_b - 1)
+    def _emit_dw():
+        dw_ref[0] = dw_acc[h].astype(dw_ref.dtype)
+
+
+def _fused_qkv_bwd(x, w, qkv, out, g, scale):
+    """Megakernel backward: returns (dx (B,N,H), dw (H,3,K,D))."""
+    _, B, K, D, N = qkv.shape
+    H = x.shape[-1]
+    # (H, 3, K, D) → (K, 3D, H): per-head slabs with legal block tiling
+    wt = jnp.transpose(w, (2, 1, 3, 0)).reshape(K, 3 * D, H).astype(x.dtype)
+
+    qkv_spec = pl.BlockSpec((3, 1, 1, D, N), lambda b, h: (0, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    dn_spec = _tn_specs(B, K, D, N)
+    x_spec = pl.BlockSpec((1, N, H), lambda b, h: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((1, 3 * D, H), lambda b, h: (h, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dx_spec = pl.BlockSpec((1, N, H), lambda b, h: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dw_spec = pl.BlockSpec((1, H, 3 * D), lambda b, h: (h, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dx, dwt = pl.pallas_call(
+        partial(_fused_qkv_bwd_kernel, scale=scale, n_valid=N),
+        grid=(B, K),
+        in_specs=[qkv_spec, dn_spec, dn_spec, x_spec, w_spec],
+        out_specs=(dx_spec, dw_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, N, H), x.dtype),
+                   jax.ShapeDtypeStruct((K, H, 3 * D), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((N, H), jnp.float32),
+                        pltpu.VMEM((K, H, 3 * D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # both axes carry accumulator state — serial grid
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # ~45 MB scoped: the (N̂,N̂) f32 planes + x/w blocks + the two
+            # accumulators (dW alone is 12.6 MB at config-4 geometry);
+            # v5e has 128 MB physical VMEM
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * K * N * (5 * N * D + 2 * 3 * D * H),
+            bytes_accessed=B * K * N * D * 20 + B * N * H * 4,
+            transcendentals=B * K * N * N),
+        interpret=_interpret(),
+    )(qkv, g, out, x, wt)
+    # (K, H, 3D) → (H, 3, K, D) param layout
+    dw = jnp.transpose(dwt.reshape(K, H, 3, D), (1, 2, 0, 3))
+    return dx, dw.astype(w.dtype)
+
+
+# bf16-only megakernel backward switch (see block comment above); the f32
+# parity path and long sequences use the plain einsum-AD composition.
+#
+# MEASURED NEGATIVE RESULT (2026-08-18, config 4, v5e): the megakernel does
+# kill the dqkv relayout copies (41 → 6.7 ms/step of %copy in the device
+# trace) — but the in-kernel dgrad/wgrad contractions run ~50% MXU and
+# SERIALIZE with the attention dots instead of overlapping the way XLA's
+# standalone GEMMs overlap with neighboring fusions: per-program time 8.7 →
+# 16.4 µs, backward lane 53.3 → 100.5 ms/step, net step +8 ms (359.7 →
+# 367.8).  XLA's copy+GEMM schedule wins; default stays False.  The code
+# remains as an option (and a receipt) — a future 2-heads-per-program
+# variant would widen the contractions to 384 and might flip the sign.
+FUSED_QKV_GRADS = False
+
+
+def _qkv_project_tn(x, w):
+    qkv = jnp.einsum("bnh,hskd->sbkdn", x, w.astype(x.dtype),
+                     preferred_element_type=jnp.float32)  # (3, B, K, D, N)
+    return qkv.astype(x.dtype)
+
+
+@jax.custom_vjp
+def fused_qkv_attention(x: jax.Array, w: jax.Array) -> jax.Array:
+    """QKV projection + fused SDPA: (B, N, H) x, (H, 3, K, D) w → (B, K, D, N).
+
+    Forward is the same einsum + flash_attention_qkv_tn the model ran
+    before; the backward runs the megakernel when FUSED_QKV_GRADS and the
+    operands are bf16 short-sequence, else the unfused composition."""
+    qkv = _qkv_project_tn(x, w)
+    return flash_attention_qkv_tn(qkv, qkv.shape[3] ** -0.5)
+
+
+def _fused_qkv_fwd(x, w):
+    qkv = _qkv_project_tn(x, w)
+    out = flash_attention_qkv_tn(qkv, qkv.shape[3] ** -0.5)
+    return out, (x, w, qkv, out)
+
+
+def _fused_qkv_bwd_rule(residuals, g):
+    x, w, qkv, out = residuals
+    scale = qkv.shape[3] ** -0.5
+    use_mega = (FUSED_QKV_GRADS and qkv.dtype == jnp.bfloat16
+                and qkv.shape[4] <= _SINGLE_BLOCK_MAX
+                and qkv.shape[3] % _D_ALIGN == 0)
+    if use_mega:
+        return _fused_qkv_bwd(x, w, qkv, out, g, scale)
+    # unfused: dqkv through the stacked kernel, then the einsum transposes
+    (dqkv,) = _qkv_tn_bwd(scale, (qkv, out), g)
+    dx = jnp.einsum("sbkdn,hskd->bnh", dqkv.astype(x.dtype),
+                    w.astype(x.dtype), preferred_element_type=jnp.float32
+                    ).astype(x.dtype)
+    dw = jnp.einsum("bnh,sbkdn->hskd", x, dqkv.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, dw
+
+
+fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd_rule)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -68,17 +68,16 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
         # (…, D, N) array — feeding the tn kernel this way removes the
         # per-layer HBM relayout copies XLA otherwise inserts at the Pallas
         # boundary (~55 ms/step at config 4, 2026-08-17 trace).
-        from ..kernels.flash_attention import flash_attention_qkv_tn
-        qkv = jnp.einsum("bnh,hskd->sbkdn", x, kernel,
-                         preferred_element_type=jnp.float32)  # (3,B,K,D,N)
-        qkv = qkv.astype(x.dtype)
-        # named so remat_policy='save_attn_masks_ffn_qkv' can keep q/k/v for
-        # the flash backward instead of recomputing LN1 + the fused QKV GEMM
-        qkv = checkpoint_name(qkv, "qkv")
-        scale = qkv.shape[3] ** -0.5
-        # stacked-qkv form: no XLA split on the forward / concat on the
-        # backward around the kernel call
-        out = checkpoint_name(flash_attention_qkv_tn(qkv, scale), "attn_out")
+        # Fused projection+attention custom_vjp: the backward megakernel
+        # contracts dq/dk/dv against x and Wqkv in VMEM, so the dqkv
+        # cotangent never materializes in HBM (kernels/flash_attention.py
+        # fused_qkv_attention — bf16 short-N; other operands fall back to
+        # the unfused composition inside the same op).  Note: qkv is now
+        # internal to the custom_vjp, so remat_policy='…_qkv' has no target
+        # on this path — with the bf16 residual set, config-4 scale runs
+        # remat-free anyway (docs/PERF_r03.md).
+        from ..kernels.flash_attention import fused_qkv_attention
+        out = checkpoint_name(fused_qkv_attention(x, kernel), "attn_out")
         out_k = params["out"]["kernel"].astype(out.dtype)
         y = jnp.einsum("bkdn,kdh->bnh", out, out_k,
                        preferred_element_type=jnp.float32)

@@ -283,3 +283,79 @@ def test_flash_qkv_tn_matches_reference(n):
     for s, b in enumerate(gr):
         np.testing.assert_allclose(np.asarray(_tn(gf[s])), np.asarray(b),
                                    atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("dtype,megakernel", [
+    ("float32", False),        # f32 always takes the unfused composition
+    ("bfloat16", False),       # the shipping default
+    ("bfloat16", True),        # megakernel backward (optional; keep correct)
+])
+def test_fused_qkv_attention_grads(dtype, megakernel):
+    """fused projection+attention custom_vjp (the model's flash path):
+    the unfused composition AND the optional megakernel backward must both
+    match plain einsum+SDPA AD."""
+    from cross_attention_vit_tpu.kernels import flash_attention as fa
+    from cross_attention_vit_tpu.kernels.flash_attention import (
+        fused_qkv_attention)
+
+    dt = jnp.dtype(dtype)
+    B, N, H, K, D = 2, 129, 64, 4, 16
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(B, N, H)), dt)
+    w = jnp.asarray(rng.normal(size=(H, 3, K, D)) * 0.1, dt)
+
+    def ref(x, w):
+        qkv = jnp.einsum("bnh,hskd->sbknd", x.astype(jnp.float32),
+                         w.astype(jnp.float32))
+        out = _reference_sdpa(qkv[0], qkv[1], qkv[2], D ** -0.5)
+        return jnp.swapaxes(out, 2, 3)
+
+    out = fused_qkv_attention(x, w)
+    want = ref(x, w)
+    tol = dict(atol=5e-5, rtol=1e-4) if dtype == "float32" else \
+        dict(atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(want, np.float32), **tol)
+
+    orig_flag = fa.FUSED_QKV_GRADS
+    fa.FUSED_QKV_GRADS = megakernel
+    try:
+        gf = jax.grad(lambda x, w: jnp.sum(
+            fused_qkv_attention(x, w).astype(jnp.float32) ** 2),
+            argnums=(0, 1))(x, w)
+    finally:
+        fa.FUSED_QKV_GRADS = orig_flag
+    gr = jax.grad(lambda x, w: jnp.sum(ref(x, w) ** 2), argnums=(0, 1))(x, w)
+    for a, b, name in zip(gf, gr, ("dx", "dw")):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        dev = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+        lim = 1e-3 if dtype == "float32" else 4e-2
+        assert dev < lim, f"{name} {dtype}: {dev:.2e} >= {lim}"
+
+
+def test_fused_qkv_attention_megakernel_dispatch():
+    """With FUSED_QKV_GRADS on, bf16 short-N takes the megakernel branch
+    (the flag defaults off — a measured negative result on v5e, see the
+    kernel module — but the branch must stay correct and reachable)."""
+    from cross_attention_vit_tpu.kernels import flash_attention as fa
+
+    x = jnp.zeros((1, 16, 8), jnp.bfloat16)
+    w = jnp.zeros((8, 3, 1, 8), jnp.bfloat16)
+    called = {}
+    orig_impl = fa._fused_qkv_bwd
+    orig_flag = fa.FUSED_QKV_GRADS
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return orig_impl(*a, **k)
+
+    fa._fused_qkv_bwd = spy
+    fa.FUSED_QKV_GRADS = True
+    try:
+        jax.grad(lambda x: jnp.sum(
+            fa.fused_qkv_attention(x, w).astype(jnp.float32) ** 2))(x)
+    finally:
+        fa._fused_qkv_bwd = orig_impl
+        fa.FUSED_QKV_GRADS = orig_flag
+    assert called.get("yes")
