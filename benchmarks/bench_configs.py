@@ -259,7 +259,7 @@ def config4():
         "unit": "volumes/s (train step: device aug + fwd + bwd + Adam, batch 32)",
         "train_step_ms": round(dt * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops), dt), 4),
-        "config": "ModelVIT depth 12 (ViT-Base depth), 2 streams, full device aug, bf16, remat",
+        "config": "ModelVIT depth 12 (ViT-Base depth), 2 streams, full device aug, bf16, remat-free",
     }
 
 
