@@ -17,12 +17,29 @@ ops/initializers.py make this a pure axis shard, no reshards):
 
 Row splits shard the contracting (input) dim, so even the 2-wide
 classification head fc2 shards cleanly — only its mlp input axis is split.
+
+FSDP / ZeRO (`fsdp=True`): every large parameter additionally shards its
+largest still-free axis over the 'data' axis.  Params, gradients, and Adam
+moments then live distributed across DP ranks (optim.init's zeros_like
+inherits the placement); GSPMD inserts the per-layer all-gather at use and
+turns the gradient all-reduce into a reduce-scatter — the FSDP/ZeRO-3
+schedule, derived entirely from sharding annotations (no wrapper modules).
+The reference has no equivalent (SURVEY.md §2.3: "Gradient accumulation /
+ZeRO / FSDP: NO"); at 44-255 M params it never needed one, but a framework
+that scales past a single chip's HBM does.
 """
 
 from __future__ import annotations
 
+import math
+
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Parameters smaller than this stay replicated under FSDP: gathering a few
+# KB per layer costs more in latency than the memory it saves (the same
+# min-size convention as torch FSDP's min_num_params wrapping policy).
+FSDP_MIN_SIZE = 2 ** 15
 
 
 def _spec_for(path: tuple[str, ...], ndim: int) -> P:
@@ -49,6 +66,26 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
     return P()
 
 
+def _with_fsdp(spec: P, shape: tuple[int, ...], data_size: int) -> P:
+    """Extend a TP spec with a 'data'-axis shard on the largest free axis.
+
+    Skips small params (< FSDP_MIN_SIZE elements) and axes not divisible by
+    the data-axis size; a param with no shardable axis stays as-is.
+    """
+    if data_size <= 1 or math.prod(shape) < FSDP_MIN_SIZE:
+        return spec
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best = None
+    for i, d in enumerate(shape):
+        if entries[i] is None and d % data_size == 0 and d > 1:
+            if best is None or d > shape[best]:
+                best = i
+    if best is None:
+        return spec
+    entries[best] = "data"
+    return P(*entries)
+
+
 def _path_names(path) -> tuple[str, ...]:
     names = []
     for p in path:
@@ -61,23 +98,32 @@ def _path_names(path) -> tuple[str, ...]:
     return tuple(names)
 
 
-def param_specs(params) -> object:
-    """Pytree of PartitionSpec matching `params`."""
+def param_specs(params, fsdp: bool = False, data_size: int = 0) -> object:
+    """Pytree of PartitionSpec matching `params`.
+
+    fsdp=True additionally shards each large param over 'data' (pass the
+    mesh's data-axis size as `data_size`)."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    specs = [_spec_for(_path_names(path), leaf.ndim) for path, leaf in flat]
+    specs = []
+    for path, leaf in flat:
+        spec = _spec_for(_path_names(path), leaf.ndim)
+        if fsdp:
+            spec = _with_fsdp(spec, leaf.shape, data_size)
+        specs.append(spec)
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def param_sharding(params, mesh: Mesh) -> object:
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    shardings = [NamedSharding(mesh, _spec_for(_path_names(path), leaf.ndim))
-                 for path, leaf in flat]
-    return jax.tree_util.tree_unflatten(treedef, shardings)
+def param_sharding(params, mesh: Mesh, fsdp: bool = False) -> object:
+    data_size = mesh.shape.get("data", 1) if fsdp else 0
+    specs = param_specs(params, fsdp=fsdp, data_size=data_size)
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(params, mesh: Mesh):
-    """Place a parameter pytree onto the mesh per the TP rules."""
-    return jax.device_put(params, param_sharding(params, mesh))
+def shard_params(params, mesh: Mesh, fsdp: bool = False):
+    """Place a parameter pytree onto the mesh per the TP (+ optional FSDP)
+    rules."""
+    return jax.device_put(params, param_sharding(params, mesh, fsdp=fsdp))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

@@ -88,15 +88,27 @@ def _replicate_aux(aux: dict, mesh) -> dict:
 
 
 def make_train_step(model_apply, config: Config, donate: bool = True,
-                    mesh=None):
+                    mesh=None, grad_accum: int = 1):
     """Builds the jitted SPMD train step.
 
     Signature: (params, opt_state, img, labels, lr, rng) →
                (params, opt_state, aux-dict)
+
+    grad_accum > 1 splits the batch into that many equal microbatches and
+    accumulates gradients over a lax.scan before the single Adam update —
+    the capability row the reference lacks (SURVEY.md §2.3).  Activation
+    memory scales with batch/grad_accum while the update sees the full-batch
+    mean gradient (identical up to summation order; dropout draws fresh
+    per-microbatch keys, the same independence a larger batch would have).
+    Equality is exact-to-f32-noise on CPU (test_parallel); on TPU the MXU's
+    default matmul precision makes per-sample values batch-shape-dependent
+    at ~1e-3 relative, so accumulated vs one-shot steps agree to that level.
     """
     weight_decay = config.weight_decay
     img_aug = bool(config.get("img_aug", False))
     aug_bf16 = config.get("augment_dtype", "float32") == "bfloat16"
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
     def step(params, opt_state, img, labels, lr, rng):
         from ..ops.layers import promote_input
@@ -118,11 +130,39 @@ def make_train_step(model_apply, config: Config, donate: bool = True,
             img = augment_batch(aug_rng, img)
             img = promote_input(img)  # restore the f32 model-entry contract
 
-        def loss_fn(p):
-            logits, loss = model_apply(p, config, img, labels, train=True, rng=rng)
+        def loss_fn(p, im, lb, r):
+            logits, loss = model_apply(p, config, im, lb, train=True, rng=r)
             return loss, logits
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if grad_accum == 1:
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, img, labels, rng)
+        else:
+            batch = img.shape[0]
+            if batch % grad_accum:
+                raise ValueError(f"batch {batch} not divisible by "
+                                 f"grad_accum {grad_accum}")
+            micro = batch // grad_accum
+            imgs = img.reshape(grad_accum, micro, *img.shape[1:])
+            labs = labels.reshape(grad_accum, micro)
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+            def body(carry, xs):
+                g_acc, loss_acc = carry
+                im, lb, i = xs
+                (l, lo), g = grad_fn(params, im, lb, jax.random.fold_in(rng, i))
+                g_acc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g)
+                return (g_acc, loss_acc + l), lo
+
+            g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+            (g_sum, loss_sum), logits = jax.lax.scan(
+                body, (g0, jnp.zeros((), jnp.float32)),
+                (imgs, labs, jnp.arange(grad_accum)))
+            grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
+            loss = loss_sum / grad_accum
+            logits = logits.reshape(batch, *logits.shape[2:])
+
         params, opt_state = optim.update(grads, opt_state, params, lr,
                                          weight_decay=weight_decay)
         preds = jnp.argmax(logits, axis=1)
@@ -221,7 +261,8 @@ class Trainer:
                  data_sharding=None, log_every_epochs: int = 1,
                  stateful: bool = False, schedule: str = "cosine",
                  latest_every: int = 1, checkpoint_monitor: str = "val_loss",
-                 mesh=None, early_stopping: EarlyStopping | None = None):
+                 mesh=None, early_stopping: EarlyStopping | None = None,
+                 fsdp: bool = False, grad_accum: int = 1):
         """stateful: model carries mutable state (BatchNorm families) —
         init returns (params, state), apply takes/returns state.
         schedule: 'cosine' (model_cross/model_vit contract) or 'plateau'
@@ -231,7 +272,13 @@ class Trainer:
         are ~3 GB; every epoch is wasteful for long runs).
         mesh: a parallel.make_mesh Mesh — params/opt state are placed per the
         TP sharding rules and batches shard over the 'data' axis; this is the
-        Trainer-level replacement for Lightning's devices/num_nodes."""
+        Trainer-level replacement for Lightning's devices/num_nodes.
+        fsdp: additionally shard params + Adam moments over the 'data' axis
+        (ZeRO/FSDP — parallel/sharding.py); requires a mesh.
+        grad_accum: split each batch into this many sequential microbatches
+        inside the jitted step (summed-then-averaged grads == the one-shot
+        step's; trades step time for activation memory).  Stateless models
+        only (BN-running-stat families update state once per step)."""
         self.model = model_module
         self.config = config
         self.max_epochs = max_epochs
@@ -241,6 +288,12 @@ class Trainer:
         self.latest_every = max(1, latest_every)
         self.seed = seed
         self.mesh = mesh
+        self.fsdp = bool(fsdp)
+        if self.fsdp and mesh is None:
+            raise ValueError("fsdp=True requires a mesh")
+        if grad_accum > 1 and stateful:
+            raise ValueError("grad_accum > 1 is not supported for stateful "
+                             "(BatchNorm) models")
         if mesh is not None and data_sharding is None:
             from ..parallel import batch_sharding
 
@@ -276,7 +329,7 @@ class Trainer:
                                                      config, mesh=mesh)
         else:
             self.train_step = make_train_step(model_module.apply, config,
-                                              mesh=mesh)
+                                              mesh=mesh, grad_accum=grad_accum)
             self.eval_step = make_eval_step(model_module.apply, config,
                                             mesh=mesh)
 
@@ -296,7 +349,7 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel import replicated, shard_params
 
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, fsdp=self.fsdp)
             if model_state is not None:
                 model_state = jax.device_put(model_state, replicated(self.mesh))
         self.params = params
@@ -342,11 +395,13 @@ class Trainer:
             # restore returns host arrays — re-place them per the mesh rules
             from ..parallel import replicated, shard_params
 
-            params = shard_params(params, self.mesh)
+            params = shard_params(params, self.mesh, fsdp=self.fsdp)
             opt = optim.AdamState(step=jax.device_put(opt.step,
                                                       replicated(self.mesh)),
-                                  mu=shard_params(opt.mu, self.mesh),
-                                  nu=shard_params(opt.nu, self.mesh))
+                                  mu=shard_params(opt.mu, self.mesh,
+                                                  fsdp=self.fsdp),
+                                  nu=shard_params(opt.nu, self.mesh,
+                                                  fsdp=self.fsdp))
             if self.stateful:
                 state["model_state"] = jax.device_put(state["model_state"],
                                                       replicated(self.mesh))
