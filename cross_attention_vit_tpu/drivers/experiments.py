@@ -70,7 +70,7 @@ def filter_available(data, folder) -> "object":
 
 def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
              out_dir, run_name, max_epochs, batch_size, seed, verbose,
-             mesh=None, latest_every=5):
+             mesh=None, latest_every=5, fsdp=False, grad_accum=1):
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
@@ -107,7 +107,8 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
-                      seed=seed, latest_every=latest_every, mesh=mesh)
+                      seed=seed, latest_every=latest_every, mesh=mesh,
+                      fsdp=fsdp, grad_accum=grad_accum)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history
@@ -116,7 +117,8 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
 def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
                max_epochs=250, batch_size=8, verbose=True, overrides=None,
-               only_available=False, mesh=None, latest_every=5):
+               only_available=False, mesh=None, latest_every=5,
+               fsdp=False, grad_accum=1):
     """The live driver (reference main_mist.py:156-219).
 
     mesh: a parallel.make_mesh ('data','model') Mesh — the replacement for
@@ -152,7 +154,8 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                     model_module, cur_config, params, train_df, val_df,
                     folder=folder, out_dir=out_dir, run_name=run_name,
                     max_epochs=max_epochs, batch_size=batch_size, seed=seed,
-                    verbose=verbose, mesh=mesh, latest_every=latest_every)
+                    verbose=verbose, mesh=mesh, latest_every=latest_every,
+                    fsdp=fsdp, grad_accum=grad_accum)
                 results[run_name] = history
     return results
 
@@ -160,7 +163,8 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
 def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
              out_dir="runs", run=145, test_seed=6969, cv_seeds=(6253, 9253),
              k: int = 5, max_epochs=250, batch_size=8, verbose=True,
-             overrides=None, only_available=False, mesh=None):
+             overrides=None, only_available=False, mesh=None, fsdp=False,
+             grad_accum=1):
     """Stratified k-fold variant (reference main_mist.py:84-149, repaired)."""
     from sklearn.model_selection import StratifiedKFold, train_test_split
 
@@ -192,7 +196,8 @@ def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                         data.iloc[train_idx], data.iloc[val_idx],
                         folder=folder, out_dir=out_dir, run_name=run_name,
                         max_epochs=max_epochs, batch_size=batch_size,
-                        seed=cv_seed, verbose=verbose, mesh=mesh)
+                        seed=cv_seed, verbose=verbose, mesh=mesh,
+                        fsdp=fsdp, grad_accum=grad_accum)
                     results[run_name] = history
     return results
 
@@ -221,6 +226,12 @@ def main(argv=None):
                         "(default), 0 = no mesh (single device, unsharded)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis (must divide num_heads)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + Adam moments over the 'data' axis "
+                        "(ZeRO/FSDP; see parallel/sharding.py)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="microbatches accumulated per optimizer step "
+                        "(batch-size must be divisible by it)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator address host:port "
                         "(auto-detected on Cloud TPU)")
@@ -271,10 +282,13 @@ def main(argv=None):
         keep = 0 if args.model == "cross" else 1
         grids = [g if m == keep else [] for m, g in enumerate(grids)]
 
+    if args.fsdp and mesh is None:
+        raise SystemExit("--fsdp requires a mesh (don't pass --dp 0)")
     kwargs = dict(labels_csv=args.labels, folder=args.data, out_dir=args.out,
                   max_epochs=args.epochs, batch_size=args.batch_size,
                   only_available=args.only_available, mesh=mesh,
-                  overrides=overrides or None)
+                  overrides=overrides or None, fsdp=args.fsdp,
+                  grad_accum=args.grad_accum)
     if args.mode == "full":
         kwargs["latest_every"] = args.latest_every
     if args.mode == "full":

@@ -159,3 +159,19 @@ def test_train_full_tiny_meshed(tmp_path):
     assert np.isfinite(history[-1]["train_loss"])
     assert np.isfinite(history[-1]["val_auc_roc"])
     assert list((tmp_path / "runs" / "checkpoints" / "cross").glob("*.npz"))
+
+
+def test_train_full_tiny_fsdp_grad_accum(tmp_path):
+    """Driver-level FSDP + gradient accumulation: the Trainer kwargs flow
+    through train_full and produce finite losses + artifacts."""
+    from cross_attention_vit_tpu.parallel import make_mesh
+
+    results = experiments.train_full(
+        [[_tiny_grids()[0][0]], []], labels_csv=_bundled_csv(tmp_path),
+        folder=UCSF, out_dir=tmp_path / "runs", test_seeds=(2004,),
+        max_epochs=1, batch_size=4, verbose=False, overrides=TINY,
+        mesh=make_mesh(4, 2), fsdp=True, grad_accum=2)
+    (history,) = results.values()
+    assert np.isfinite(history[-1]["train_loss"])
+    assert np.isfinite(history[-1]["val_loss"])
+    assert list((tmp_path / "runs" / "checkpoints" / "cross").glob("*.npz"))
