@@ -54,6 +54,11 @@ def _live_cfg():
     cfg.activation_dtype = "bfloat16"
     cfg.augment_dtype = "bfloat16"
     cfg.remat_policy = "save_attn_masks"
+    # tanh GELU (torch's nn.GELU(approximate='tanh') formula; dynamics-parity
+    # tested against torch's own tanh mode): erf is VPU-bound — cross8 train
+    # step 74.8 → 70.4 ms measured (docs/PERF_r03.md)
+    from cross_attention_vit_tpu.ops import layers as L
+    L.GELU_APPROX = True
     return cfg
 
 

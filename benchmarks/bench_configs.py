@@ -229,6 +229,12 @@ def config4():
     # augmentation pipeline
     cfg.activation_dtype = "bfloat16"
     cfg.augment_dtype = "bfloat16"
+    # tanh GELU (torch nn.GELU(approximate='tanh') formula; dynamics parity
+    # vs torch's own tanh mode in test_train_parity_dynamics): the erf
+    # polynomial is VPU-bound and runs 3x/layer (fwd, bwd, remat recompute)
+    # — 442 → 419 ms measured (docs/PERF_r03.md)
+    from cross_attention_vit_tpu.ops import layers as L
+    L.GELU_APPROX = True
     df = _cohort(6)
     ds = BrainDataset(df, cfg, types=types, is_train=True, folder=UCSF,
                       cache=True)

@@ -58,6 +58,9 @@ def main():
                     default="float32",
                     help="config.augment_dtype: pipeline dtype for the "
                          "device augmentation step boundaries")
+    ap.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
+                    help="ops.layers.GELU_APPROX: tanh approximation "
+                         "(torch nn.GELU(approximate='tanh') formula)")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -84,6 +87,7 @@ def main():
     L.DROPOUT_BITS = (None if args.mask_bits == "none" else
                       "auto" if args.mask_bits == "auto" else
                       int(args.mask_bits))
+    L.GELU_APPROX = args.gelu == "tanh"
 
     common = dict(lr=1e-4, weight_decay=5e-4, label_smoothing=0.0,
                   optim_params={"T_max": 250, "eta_min": 1e-6},
@@ -142,7 +146,7 @@ def main():
         "variant": {"model": args.model, "tie": args.tie,
                     "remat_policy": args.remat_policy, "act": args.act,
                     "mask_bits": args.mask_bits, "aug_dtype": args.aug_dtype,
-                    "dropout": cfg.dropout, "aug": args.aug},
+                    "gelu": args.gelu, "dropout": cfg.dropout, "aug": args.aug},
         "train_step_ms": round(dt * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops_fn()), dt), 4),
         "volumes_per_sec": round(batch / dt, 2),

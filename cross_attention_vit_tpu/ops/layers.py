@@ -119,9 +119,20 @@ def layernorm(params: dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     return y.astype(x.dtype)
 
 
+# GELU flavor.  False (default) = exact erf, the torch nn.GELU() default the
+# reference uses (model_cross.py:25).  True = tanh approximation — the same
+# formula as torch nn.GELU(approximate='tanh'); on v5e the erf polynomial is
+# VPU-compute-bound (3.5 vs 2.2 ms standalone on a (32,1025,4096) hidden), and
+# GELU runs 3× per layer in a train step (forward, backward derivative, and
+# the HBM-pressure remat recompute), so the approximation is a measurable
+# step-time knob.  Opt-in: it changes logits at the ~1e-3 level of the
+# approximation itself, same tier as activation_dtype='bfloat16'.
+GELU_APPROX: bool = False
+
+
 def gelu(x: jax.Array) -> jax.Array:
-    """Exact (erf) GELU — torch nn.GELU default."""
-    return jax.nn.gelu(x, approximate=False)
+    """GELU — exact erf by default (torch nn.GELU); tanh via GELU_APPROX."""
+    return jax.nn.gelu(x, approximate=GELU_APPROX)
 
 
 # How dropout keys are tied to their input tensor (see _tie_key):

@@ -66,6 +66,24 @@ def test_gelu_is_exact_erf_form():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_gelu_approx_matches_torch_tanh_form():
+    """GELU_APPROX=True is torch's other supported GELU —
+    nn.GELU(approximate='tanh') — not an uncontrolled approximation."""
+    from cross_attention_vit_tpu.ops import layers as L
+
+    x = np.linspace(-4, 4, 101).astype(np.float32)
+    old = L.GELU_APPROX
+    L.GELU_APPROX = True
+    try:
+        got = np.asarray(L.gelu(jnp.asarray(x)))
+    finally:
+        L.GELU_APPROX = old
+    want = F.gelu(torch.from_numpy(x), approximate="tanh").numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # and it is genuinely a different curve from the erf form
+    assert np.max(np.abs(want - F.gelu(torch.from_numpy(x)).numpy())) > 1e-5
+
+
 def test_layernorm_matches_torch():
     rng = np.random.default_rng(4)
     x = rng.normal(size=(4, 7, 32)).astype(np.float32) * 50

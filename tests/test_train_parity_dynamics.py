@@ -140,6 +140,30 @@ def test_vit_training_dynamics_match_torch():
     assert jc[-1] < jc[0]  # and it actually learns
 
 
+def test_gelu_tanh_training_dynamics_match_torch_tanh():
+    """GELU_APPROX=True must track torch's OWN tanh-GELU mode
+    (nn.GELU(approximate='tanh')) as tightly as the exact mode tracks the
+    default — proving the perf knob swaps one torch-supported activation for
+    another rather than introducing uncontrolled drift."""
+    from cross_attention_vit_tpu.ops import layers as L
+
+    cfg = get_mgmt_config()
+    modify_config(cfg, dict(hidden_dim=128, mlp_dim=256, num_heads=4,
+                            num_layers=2, num_modalities=2, dropout=0.0,
+                            label_smoothing=0.0, lr=1e-4, weight_decay=5e-4,
+                            optim_params={"T_max": max(EPOCHS, 10),
+                                          "eta_min": 1e-6}))
+    old_j, old_t = L.GELU_APPROX, torch_oracle.GELU_APPROXIMATE
+    L.GELU_APPROX, torch_oracle.GELU_APPROXIMATE = True, "tanh"
+    try:
+        jc, tc, rel = _run(model_vit, torch_oracle.vit_forward, cfg,
+                           ("T1c", "FLAIR"))
+    finally:
+        L.GELU_APPROX, torch_oracle.GELU_APPROXIMATE = old_j, old_t
+    assert rel.max() < 5e-3
+    assert jc[-1] < jc[0]
+
+
 def test_bf16_activation_dynamics_stay_in_band():
     """The activation_dtype='bfloat16' perf knob perturbs training numerics
     (activations round to bf16 between ops; matmul accumulation stays f32).

@@ -18,6 +18,9 @@ from einops import rearrange
 # Oracle precision: float64 for parity tests; bench.py flips this to float32
 # for a fair CPU-throughput baseline.
 DTYPE = torch.float64
+# 'none' = torch nn.GELU() default (exact erf); 'tanh' mirrors the framework's
+# ops.layers.GELU_APPROX=True mode (torch nn.GELU(approximate='tanh'))
+GELU_APPROXIMATE = "none"
 
 
 def t(x, dtype=None) -> torch.Tensor:
@@ -65,7 +68,7 @@ def ln_t(p: dict, x: torch.Tensor, eps: float = 1e-5) -> torch.Tensor:
 
 
 def ffn_t(p: dict, x: torch.Tensor) -> torch.Tensor:
-    return linear_t(p["fc2"], F.gelu(linear_t(p["fc1"], x)))
+    return linear_t(p["fc2"], F.gelu(linear_t(p["fc1"], x), approximate=GELU_APPROXIMATE))
 
 
 def self_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
@@ -145,7 +148,8 @@ def cross_forward(params: dict, config, img: np.ndarray,
     streams = [ln_t(params["norm"][i], streams[i]) for i in range(M)]
     logits = torch.stack([
         linear_t(params["mlp_head"][i]["fc2"],
-                 F.gelu(linear_t(params["mlp_head"][i]["fc1"], streams[i][:, 0])))
+                 F.gelu(linear_t(params["mlp_head"][i]["fc1"], streams[i][:, 0]),
+                        approximate=GELU_APPROXIMATE))
         for i in range(M)
     ]).mean(dim=0)
 
@@ -178,7 +182,7 @@ def vit_forward(params: dict, config, img: np.ndarray,
 
     h = params["head"]
     cls_out = ln_t(h["norm"], x[:, 0])
-    logits = linear_t(h["fc2"], F.gelu(linear_t(h["fc1"], cls_out)))
+    logits = linear_t(h["fc2"], F.gelu(linear_t(h["fc1"], cls_out), approximate=GELU_APPROXIMATE))
 
     if labels is None:
         return logits.numpy()
