@@ -70,7 +70,8 @@ def filter_available(data, folder) -> "object":
 
 def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
              out_dir, run_name, max_epochs, batch_size, seed, verbose,
-             mesh=None, latest_every=5, fsdp=False, grad_accum=1):
+             mesh=None, latest_every=5, fsdp=False, grad_accum=1,
+             accum_impl="scan"):
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
@@ -108,7 +109,7 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
                       seed=seed, latest_every=latest_every, mesh=mesh,
-                      fsdp=fsdp, grad_accum=grad_accum)
+                      fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history
@@ -118,7 +119,7 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
                max_epochs=250, batch_size=8, verbose=True, overrides=None,
                only_available=False, mesh=None, latest_every=5,
-               fsdp=False, grad_accum=1):
+               fsdp=False, grad_accum=1, accum_impl="scan"):
     """The live driver (reference main_mist.py:156-219).
 
     mesh: a parallel.make_mesh ('data','model') Mesh — the replacement for
@@ -155,7 +156,7 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                     folder=folder, out_dir=out_dir, run_name=run_name,
                     max_epochs=max_epochs, batch_size=batch_size, seed=seed,
                     verbose=verbose, mesh=mesh, latest_every=latest_every,
-                    fsdp=fsdp, grad_accum=grad_accum)
+                    fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl)
                 results[run_name] = history
     return results
 
@@ -164,7 +165,7 @@ def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
              out_dir="runs", run=145, test_seed=6969, cv_seeds=(6253, 9253),
              k: int = 5, max_epochs=250, batch_size=8, verbose=True,
              overrides=None, only_available=False, mesh=None, fsdp=False,
-             grad_accum=1):
+             grad_accum=1, accum_impl="scan"):
     """Stratified k-fold variant (reference main_mist.py:84-149, repaired)."""
     from sklearn.model_selection import StratifiedKFold, train_test_split
 
@@ -197,7 +198,8 @@ def train_cv(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                         folder=folder, out_dir=out_dir, run_name=run_name,
                         max_epochs=max_epochs, batch_size=batch_size,
                         seed=cv_seed, verbose=verbose, mesh=mesh,
-                        fsdp=fsdp, grad_accum=grad_accum)
+                        fsdp=fsdp, grad_accum=grad_accum,
+                        accum_impl=accum_impl)
                     results[run_name] = history
     return results
 
@@ -232,6 +234,10 @@ def main(argv=None):
     p.add_argument("--grad-accum", type=int, default=1,
                    help="microbatches accumulated per optimizer step "
                         "(batch-size must be divisible by it)")
+    p.add_argument("--accum-impl", choices=["scan", "unroll"], default="scan",
+                   help="microbatch loop form: lax.scan (default) or "
+                        "unrolled (use on relayed TPU runtimes, where "
+                        "while-loop iterations pay host round-trips)")
     p.add_argument("--coordinator", default=None,
                    help="multi-host coordinator address host:port "
                         "(auto-detected on Cloud TPU)")
@@ -288,7 +294,7 @@ def main(argv=None):
                   max_epochs=args.epochs, batch_size=args.batch_size,
                   only_available=args.only_available, mesh=mesh,
                   overrides=overrides or None, fsdp=args.fsdp,
-                  grad_accum=args.grad_accum)
+                  grad_accum=args.grad_accum, accum_impl=args.accum_impl)
     if args.mode == "full":
         kwargs["latest_every"] = args.latest_every
     if args.mode == "full":

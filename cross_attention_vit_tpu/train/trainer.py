@@ -88,27 +88,40 @@ def _replicate_aux(aux: dict, mesh) -> dict:
 
 
 def make_train_step(model_apply, config: Config, donate: bool = True,
-                    mesh=None, grad_accum: int = 1):
+                    mesh=None, grad_accum: int = 1, accum_impl: str = "scan"):
     """Builds the jitted SPMD train step.
 
     Signature: (params, opt_state, img, labels, lr, rng) →
                (params, opt_state, aux-dict)
 
     grad_accum > 1 splits the batch into that many equal microbatches and
-    accumulates gradients over a lax.scan before the single Adam update —
-    the capability row the reference lacks (SURVEY.md §2.3).  Activation
-    memory scales with batch/grad_accum while the update sees the full-batch
-    mean gradient (identical up to summation order; dropout draws fresh
-    per-microbatch keys, the same independence a larger batch would have).
-    Equality is exact-to-f32-noise on CPU (test_parallel); on TPU the MXU's
-    default matmul precision makes per-sample values batch-shape-dependent
-    at ~1e-3 relative, so accumulated vs one-shot steps agree to that level.
+    accumulates gradients before the single Adam update — the capability row
+    the reference lacks (SURVEY.md §2.3).  Activation memory scales with
+    batch/grad_accum while the update sees the full-batch mean gradient
+    (identical up to summation order; dropout draws fresh per-microbatch
+    keys, the same independence a larger batch would have).  Equality is
+    exact-to-f32-noise on CPU (test_parallel); on TPU the MXU's default
+    matmul precision makes per-sample values batch-shape-dependent at ~1e-3
+    relative, so accumulated vs one-shot steps agree to that level.
+
+    accum_impl: 'scan' rolls the microbatch loop into one lax.scan — compact
+    HLO, compile time independent of grad_accum; the default and the right
+    choice on a directly-attached TPU/CPU runtime.  'unroll' emits the loop
+    body grad_accum times — compile time scales with grad_accum, but the
+    program contains no while-loop.  Use it on RELAYED device runtimes
+    (e.g. the axon tunnel this repo benches on), where each while-loop
+    iteration pays a host round-trip: measured 17.6 s vs 0.5 s per step at
+    config-4 geometry, a 35x difference from dispatch gaps alone (device op
+    time was identical; docs/PERF_r03.md).
     """
     weight_decay = config.weight_decay
     img_aug = bool(config.get("img_aug", False))
     aug_bf16 = config.get("augment_dtype", "float32") == "bfloat16"
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    if accum_impl not in ("scan", "unroll"):
+        raise ValueError(f"accum_impl must be 'scan' or 'unroll', "
+                         f"got {accum_impl!r}")
 
     def step(params, opt_state, img, labels, lr, rng):
         from ..ops.layers import promote_input
@@ -147,21 +160,46 @@ def make_train_step(model_apply, config: Config, donate: bool = True,
             labs = labels.reshape(grad_accum, micro)
             grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-            def body(carry, xs):
-                g_acc, loss_acc = carry
-                im, lb, i = xs
-                (l, lo), g = grad_fn(params, im, lb, jax.random.fold_in(rng, i))
-                g_acc = jax.tree.map(
-                    lambda a, b: a + b.astype(jnp.float32), g_acc, g)
-                return (g_acc, loss_acc + l), lo
+            if accum_impl == "unroll":
+                g_sum, loss_sum, logit_parts = None, 0.0, []
+                for i in range(grad_accum):
+                    im, lb = imgs[i], labs[i]
+                    if g_sum is not None:
+                        # Tie each microbatch's input to the previous
+                        # accumulation so XLA cannot overlap their activation
+                        # lifetimes — without this the scheduler interleaves
+                        # the unrolled subgraphs and peak HLO-temp grows with
+                        # grad_accum (measured: depth-24 b32 ga4 OOMs at
+                        # 18.3 GB; sequenced it fits like the scan form).
+                        g_sum, loss_sum, im = jax.lax.optimization_barrier(
+                            (g_sum, loss_sum, im))
+                    (l, lo), g = grad_fn(params, im, lb,
+                                         jax.random.fold_in(rng, i))
+                    g_sum = (jax.tree.map(lambda x: x.astype(jnp.float32), g)
+                             if g_sum is None else
+                             jax.tree.map(lambda a, b: a + b.astype(jnp.float32),
+                                          g_sum, g))
+                    loss_sum = loss_sum + l
+                    logit_parts.append(lo)
+                logits = jnp.concatenate(logit_parts)
+            else:
+                def body(carry, xs):
+                    g_acc, loss_acc = carry
+                    im, lb, i = xs
+                    (l, lo), g = grad_fn(params, im, lb,
+                                         jax.random.fold_in(rng, i))
+                    g_acc = jax.tree.map(
+                        lambda a, b: a + b.astype(jnp.float32), g_acc, g)
+                    return (g_acc, loss_acc + l), lo
 
-            g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-            (g_sum, loss_sum), logits = jax.lax.scan(
-                body, (g0, jnp.zeros((), jnp.float32)),
-                (imgs, labs, jnp.arange(grad_accum)))
+                g0 = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                                  params)
+                (g_sum, loss_sum), logits = jax.lax.scan(
+                    body, (g0, jnp.zeros((), jnp.float32)),
+                    (imgs, labs, jnp.arange(grad_accum)))
+                logits = logits.reshape(batch, *logits.shape[2:])
             grads = jax.tree.map(lambda g: g / grad_accum, g_sum)
             loss = loss_sum / grad_accum
-            logits = logits.reshape(batch, *logits.shape[2:])
 
         params, opt_state = optim.update(grads, opt_state, params, lr,
                                          weight_decay=weight_decay)
@@ -262,7 +300,8 @@ class Trainer:
                  stateful: bool = False, schedule: str = "cosine",
                  latest_every: int = 1, checkpoint_monitor: str = "val_loss",
                  mesh=None, early_stopping: EarlyStopping | None = None,
-                 fsdp: bool = False, grad_accum: int = 1):
+                 fsdp: bool = False, grad_accum: int = 1,
+                 accum_impl: str = "scan"):
         """stateful: model carries mutable state (BatchNorm families) —
         init returns (params, state), apply takes/returns state.
         schedule: 'cosine' (model_cross/model_vit contract) or 'plateau'
@@ -278,7 +317,9 @@ class Trainer:
         grad_accum: split each batch into this many sequential microbatches
         inside the jitted step (summed-then-averaged grads == the one-shot
         step's; trades step time for activation memory).  Stateless models
-        only (BN-running-stat families update state once per step)."""
+        only (BN-running-stat families update state once per step).
+        accum_impl: 'scan' (default) or 'unroll' — see make_train_step;
+        pick 'unroll' on relayed device runtimes."""
         self.model = model_module
         self.config = config
         self.max_epochs = max_epochs
@@ -329,7 +370,8 @@ class Trainer:
                                                      config, mesh=mesh)
         else:
             self.train_step = make_train_step(model_module.apply, config,
-                                              mesh=mesh, grad_accum=grad_accum)
+                                              mesh=mesh, grad_accum=grad_accum,
+                                              accum_impl=accum_impl)
             self.eval_step = make_eval_step(model_module.apply, config,
                                             mesh=mesh)
 

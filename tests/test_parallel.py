@@ -213,14 +213,26 @@ def test_grad_accum_matches_one_shot():
     # lr*sign(g) noise bound (see test_fsdp_train_step comment)
     one = make_train_step(model_cross.apply, cfg, donate=False)
     p1, o1, aux1 = one(params, optim.init(params), img, labels, lr, step_rng)
-    for k in (2, 4):
-        acc = make_train_step(model_cross.apply, cfg, donate=False, grad_accum=k)
+    for k, impl in ((2, "scan"), (4, "scan"), (2, "unroll")):
+        acc = make_train_step(model_cross.apply, cfg, donate=False,
+                              grad_accum=k, accum_impl=impl)
         pk, ok, auxk = acc(params, optim.init(params), img, labels, lr, step_rng)
         assert float(auxk["loss"]) == pytest.approx(float(aux1["loss"]), rel=1e-6)
         np.testing.assert_allclose(np.asarray(auxk["probs"]),
                                    np.asarray(aux1["probs"]), atol=1e-5)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2.5e-3), pk, p1)
+
+    # scan and unroll draw IDENTICAL per-microbatch dropout keys (fold_in by
+    # index), so with dropout they are the same step; with dropout 0 their
+    # grads differ only by summation order
+    scan2 = make_train_step(model_cross.apply, cfg, donate=False, grad_accum=2)
+    unroll2 = make_train_step(model_cross.apply, cfg, donate=False,
+                              grad_accum=2, accum_impl="unroll")
+    ps, _, auxs = scan2(params, optim.init(params), img, labels, lr, step_rng)
+    pu, _, auxu = unroll2(params, optim.init(params), img, labels, lr, step_rng)
+    np.testing.assert_allclose(np.asarray(auxs["probs"]),
+                               np.asarray(auxu["probs"]), atol=1e-6)
 
     with pytest.raises(ValueError):
         acc = make_train_step(model_cross.apply, cfg, donate=False, grad_accum=3)
