@@ -71,7 +71,8 @@ def filter_available(data, folder) -> "object":
 def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
              out_dir, run_name, max_epochs, batch_size, seed, verbose,
              mesh=None, latest_every=5, fsdp=False, grad_accum=1,
-             accum_impl="scan"):
+             accum_impl="scan", early_stop_patience=0,
+             early_stop_min_delta=0.0):
     out = Path(out_dir)
     checkpoint = CheckpointManager(out / "checkpoints" / "cross",
                                    monitor="val_loss", save_top_k=10,
@@ -106,10 +107,17 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5,
                                 transfer_dtype=td)
 
+    early = None
+    if early_stop_patience > 0:
+        from ..train.trainer import EarlyStopping
+
+        early = EarlyStopping(monitor="val_loss", patience=early_stop_patience,
+                              min_delta=early_stop_min_delta, verbose=verbose)
     trainer = Trainer(model_module, cur_config, max_epochs=max_epochs,
                       logger=logger, checkpoint=checkpoint, latest=latest,
                       seed=seed, latest_every=latest_every, mesh=mesh,
-                      fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl)
+                      fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl,
+                      early_stopping=early)
     history = trainer.fit(train_loader, val_loader, sampler=sampler,
                           verbose=verbose)
     return trainer, history
@@ -119,7 +127,8 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                out_dir="runs", run=200, test_seeds=(2004, 4444, 9780, 7564),
                max_epochs=250, batch_size=8, verbose=True, overrides=None,
                only_available=False, mesh=None, latest_every=5,
-               fsdp=False, grad_accum=1, accum_impl="scan"):
+               fsdp=False, grad_accum=1, accum_impl="scan",
+               early_stop_patience=0, early_stop_min_delta=0.0):
     """The live driver (reference main_mist.py:156-219).
 
     mesh: a parallel.make_mesh ('data','model') Mesh — the replacement for
@@ -156,7 +165,9 @@ def train_full(params_big=None, *, labels_csv="labels.csv", folder="ucsf-data",
                     folder=folder, out_dir=out_dir, run_name=run_name,
                     max_epochs=max_epochs, batch_size=batch_size, seed=seed,
                     verbose=verbose, mesh=mesh, latest_every=latest_every,
-                    fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl)
+                    fsdp=fsdp, grad_accum=grad_accum, accum_impl=accum_impl,
+                    early_stop_patience=early_stop_patience,
+                    early_stop_min_delta=early_stop_min_delta)
                 results[run_name] = history
     return results
 
@@ -228,6 +239,10 @@ def main(argv=None):
                         "(default), 0 = no mesh (single device, unsharded)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel mesh axis (must divide num_heads)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline mesh axis (pair with "
+                        "--set pipeline_stages=N on ModelVIT runs; "
+                        "parallel/pipeline.py)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + Adam moments over the 'data' axis "
                         "(ZeRO/FSDP; see parallel/sharding.py)")
@@ -251,6 +266,11 @@ def main(argv=None):
                         "--set compute_dtype=bfloat16 (python-literal values)")
     p.add_argument("--latest-every", type=int, default=5,
                    help="rolling resume-checkpoint cadence in epochs")
+    p.add_argument("--early-stop-patience", type=int, default=0,
+                   help="stop a run after this many epochs without val_loss "
+                        "improvement (0 = off; the capability the reference "
+                        "comments out, main_mist.py:36-42)")
+    p.add_argument("--early-stop-min-delta", type=float, default=0.0)
     args = p.parse_args(argv)
 
     overrides = {}
@@ -279,7 +299,7 @@ def main(argv=None):
     if args.dp != 0:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(args.dp, args.tp)
+        mesh = make_mesh(args.dp, args.tp, pipe=args.pp)
 
     grids = [list(params_list1), list(params_list2)]
     if args.grid_index is not None:
@@ -297,6 +317,8 @@ def main(argv=None):
                   grad_accum=args.grad_accum, accum_impl=args.accum_impl)
     if args.mode == "full":
         kwargs["latest_every"] = args.latest_every
+        kwargs["early_stop_patience"] = args.early_stop_patience
+        kwargs["early_stop_min_delta"] = args.early_stop_min_delta
     if args.mode == "full":
         if args.seeds:
             kwargs["test_seeds"] = tuple(args.seeds)

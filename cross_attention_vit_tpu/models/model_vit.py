@@ -48,12 +48,20 @@ def init(key: jax.Array, config: Config) -> dict:
     patch_dim = p1 * p2 * p3 * config.in_channels
 
     kg = init_ops.KeyGen(key)
+    layers = [_layer_params(kg, H, mlp, config.num_heads)
+              for _ in range(config.num_layers)]
+    if config.get("pipeline_stages", 0) > 1:
+        # PP layout: per-layer trees stacked on a leading depth axis so the
+        # trunk shards over the mesh 'pipe' axis (parallel/pipeline.py);
+        # Adam is elementwise, so optimizer state inherits the layout.
+        from ..parallel.pipeline import stack_layers
+
+        layers = stack_layers(layers)
     return {
         "pos_embedding": init_ops.trunc_or_normal_02(kg(), (1, N + 1, H)),
         "cls_token": init_ops.trunc_or_normal_02(kg(), (1, 1, H)),
         "patch_to_embedding": init_ops.linear_params(kg(), patch_dim, H),
-        "layers": [_layer_params(kg, H, mlp, config.num_heads)
-                   for _ in range(config.num_layers)],
+        "layers": layers,
         "head": {
             "norm": init_ops.layernorm_params(H),
             "fc1": init_ops.linear_params(kg(), H, mlp),
@@ -107,8 +115,20 @@ def apply(params: dict, config: Config, img: jax.Array,
 
         layer_fn = remat_wrap(layer_fn, config)
 
-    for layer in params["layers"]:
-        x = layer_fn(layer, x, rngs() if train else jax.random.key(0))
+    pp = config.get("pipeline_stages", 0)
+    if pp > 1:
+        # GPipe over the mesh 'pipe' axis (serial-equivalent fallback when no
+        # pipeline mesh is active) — parallel/pipeline.py for the schedule.
+        from ..parallel.pipeline import pipeline_layers, stacked_depth
+
+        depth = stacked_depth(params["layers"])
+        keys = jax.random.split(rngs() if train else jax.random.key(0), depth)
+        x = pipeline_layers(
+            params["layers"], layer_fn, x, keys,
+            num_microbatches=config.get("pipeline_microbatches", pp))
+    else:
+        for layer in params["layers"]:
+            x = layer_fn(layer, x, rngs() if train else jax.random.key(0))
 
     h = params["head"]
     cls_out = layernorm(h["norm"], x[:, 0])

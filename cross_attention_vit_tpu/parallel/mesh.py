@@ -15,26 +15,34 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Mesh with ('data', 'model') axes.
+def make_mesh(data: int = -1, model: int = 1, pipe: int = 1,
+              devices=None) -> Mesh:
+    """Mesh with ('pipe', 'data', 'model') axes ('pipe' omitted when 1, so
+    the common DP/TP case keeps its 2-D ('data', 'model') shape).
 
     data=-1 means "all remaining devices".  The 'model' axis should divide
     num_heads (16 in the live configs) so attention TP stays head-aligned,
     and map to physically-adjacent chips (axis order puts 'model' innermost,
-    which matches ICI nearest-neighbor layout on TPU slices).
+    which matches ICI nearest-neighbor layout on TPU slices).  'pipe' is
+    outermost: stage boundaries are crossed once per microbatch tick while
+    TP collectives fire every layer, so TP gets the tight rings.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data * model} devices, "
-                         f"have {n}")
+        if n % (model * pipe):
+            raise ValueError(f"{n} devices not divisible by "
+                             f"model={model} * pipe={pipe}")
+        data = n // (model * pipe)
+    if data * model * pipe > n:
+        raise ValueError(f"mesh {pipe}x{data}x{model} needs "
+                         f"{data * model * pipe} devices, have {n}")
     # sub-meshes are allowed: take a contiguous prefix (adjacent chips)
-    devices = devices.ravel()[:data * model]
-    return Mesh(devices.reshape(data, model), ("data", "model"))
+    devices = devices.ravel()[:data * model * pipe]
+    if pipe == 1:
+        return Mesh(devices.reshape(data, model), ("data", "model"))
+    return Mesh(devices.reshape(pipe, data, model),
+                ("pipe", "data", "model"))
 
 
 def multihost_init(coordinator_address: str | None = None,

@@ -98,32 +98,45 @@ def _path_names(path) -> tuple[str, ...]:
     return tuple(names)
 
 
-def param_specs(params, fsdp: bool = False, data_size: int = 0) -> object:
+def param_specs(params, fsdp: bool = False, data_size: int = 0,
+                pipeline: bool = False) -> object:
     """Pytree of PartitionSpec matching `params`.
 
     fsdp=True additionally shards each large param over 'data' (pass the
-    mesh's data-axis size as `data_size`)."""
+    mesh's data-axis size as `data_size`).  pipeline=True marks the model as
+    using the stacked-trunk PP layout (parallel/pipeline.py): every leaf
+    under a top-level 'layers' subtree carries a leading depth axis, sharded
+    over 'pipe', with the TP spec shifted right one position."""
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     specs = []
     for path, leaf in flat:
-        spec = _spec_for(_path_names(path), leaf.ndim)
+        names = _path_names(path)
+        piped = pipeline and names and names[0] == "layers"
+        spec = _spec_for(names, leaf.ndim - (1 if piped else 0))
+        if piped:
+            spec = P("pipe", *spec)
         if fsdp:
             spec = _with_fsdp(spec, leaf.shape, data_size)
         specs.append(spec)
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def param_sharding(params, mesh: Mesh, fsdp: bool = False) -> object:
+def param_sharding(params, mesh: Mesh, fsdp: bool = False,
+                   pipeline: bool = False) -> object:
     data_size = mesh.shape.get("data", 1) if fsdp else 0
-    specs = param_specs(params, fsdp=fsdp, data_size=data_size)
+    pipeline = pipeline and mesh.shape.get("pipe", 1) > 1
+    specs = param_specs(params, fsdp=fsdp, data_size=data_size,
+                        pipeline=pipeline)
     return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(params, mesh: Mesh, fsdp: bool = False):
-    """Place a parameter pytree onto the mesh per the TP (+ optional FSDP)
-    rules."""
-    return jax.device_put(params, param_sharding(params, mesh, fsdp=fsdp))
+def shard_params(params, mesh: Mesh, fsdp: bool = False,
+                 pipeline: bool = False):
+    """Place a parameter pytree onto the mesh per the TP (+ optional FSDP /
+    PP-stacked) rules."""
+    return jax.device_put(params, param_sharding(params, mesh, fsdp=fsdp,
+                                                 pipeline=pipeline))
 
 
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:

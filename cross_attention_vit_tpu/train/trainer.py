@@ -335,10 +335,16 @@ class Trainer:
         if grad_accum > 1 and stateful:
             raise ValueError("grad_accum > 1 is not supported for stateful "
                              "(BatchNorm) models")
+        self.pipeline = config.get("pipeline_stages", 0) > 1
         if mesh is not None and data_sharding is None:
             from ..parallel import batch_sharding
 
             data_sharding = batch_sharding(mesh, 6)  # (B, M, C, D, H, W)
+        if self.pipeline and mesh is not None:
+            # PP models read the ambient pipeline mesh (parallel/pipeline.py)
+            from ..parallel import set_pipeline_mesh
+
+            set_pipeline_mesh(mesh)
         self.data_sharding = data_sharding
         self.log_every = log_every_epochs
         self.stateful = stateful
@@ -391,7 +397,8 @@ class Trainer:
         if self.mesh is not None:
             from ..parallel import replicated, shard_params
 
-            params = shard_params(params, self.mesh, fsdp=self.fsdp)
+            params = shard_params(params, self.mesh, fsdp=self.fsdp,
+                                  pipeline=self.pipeline)
             if model_state is not None:
                 model_state = jax.device_put(model_state, replicated(self.mesh))
         self.params = params
