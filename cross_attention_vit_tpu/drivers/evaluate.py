@@ -54,6 +54,9 @@ def evaluate(checkpoint: str | Path, model: str, data_df, *, folder: str,
     if config_overrides:
         modify_config(cfg, config_overrides)
     modify_config(cfg, {"img_aug": False})
+    from ..ops.layers import apply_config_knobs
+
+    apply_config_knobs(cfg)  # honor gelu_approx etc. saved with the run
 
     trainer = Trainer(module, cfg, max_epochs=0, mesh=mesh)
     trainer.init_state()

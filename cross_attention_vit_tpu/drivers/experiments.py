@@ -107,6 +107,9 @@ def _run_one(model_module, cur_config, params, train_df, val_df, *, folder,
     val_loader = PrefetchLoader(val_ds, batch_size=batch_size, num_workers=5,
                                 transfer_dtype=td)
 
+    from ..ops.layers import apply_config_knobs
+
+    apply_config_knobs(cur_config)  # --set gelu_approx=True etc.
     early = None
     if early_stop_patience > 0:
         from ..train.trainer import EarlyStopping

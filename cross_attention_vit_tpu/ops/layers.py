@@ -210,6 +210,26 @@ def _mask_key(key: jax.Array) -> jax.Array:
 DROPOUT_BITS: int | str | None = "auto"
 
 
+def apply_config_knobs(config) -> None:
+    """Apply the module-level perf knobs from config fields, when present.
+
+    Lets the training/eval CLIs reach the bench fast path through plain
+    ``--set`` overrides (e.g. ``--set gelu_approx=True``) instead of Python
+    assignments.  Unknown/absent fields leave the module defaults alone.
+
+    config keys → module knobs: gelu_approx → GELU_APPROX, tie_key_mode →
+    TIE_KEY_MODE, dropout_rng_impl → DROPOUT_RNG_IMPL, dropout_bits →
+    DROPOUT_BITS.
+    """
+    g = globals()
+    for cfg_key, knob in (("gelu_approx", "GELU_APPROX"),
+                          ("tie_key_mode", "TIE_KEY_MODE"),
+                          ("dropout_rng_impl", "DROPOUT_RNG_IMPL"),
+                          ("dropout_bits", "DROPOUT_BITS")):
+        if cfg_key in config:
+            g[knob] = config[cfg_key]
+
+
 def _mask_bits(keep: float) -> int | None:
     if DROPOUT_BITS == "auto":
         return 8 if (keep * 256) == int(keep * 256) else 16

@@ -252,3 +252,23 @@ def test_xavier_uniform_bounds_and_moments():
     assert abs(w.mean()) < bound / 50
     # uniform variance = bound^2/3
     np.testing.assert_allclose(w.var(), bound ** 2 / 3, rtol=0.05)
+
+
+def test_apply_config_knobs_sets_and_leaves_module_defaults():
+    """--set-style config fields map onto the ops.layers module knobs;
+    absent fields leave the current values untouched."""
+    from cross_attention_vit_tpu.configs import Config
+    from cross_attention_vit_tpu.ops import layers as L
+
+    saved = (L.GELU_APPROX, L.TIE_KEY_MODE, L.DROPOUT_RNG_IMPL, L.DROPOUT_BITS)
+    try:
+        L.apply_config_knobs(Config(gelu_approx=True, dropout_bits=16))
+        assert L.GELU_APPROX is True
+        assert L.DROPOUT_BITS == 16
+        assert L.TIE_KEY_MODE == saved[1]       # untouched
+        assert L.DROPOUT_RNG_IMPL == saved[2]   # untouched
+        L.apply_config_knobs(Config(tie_key_mode=None, dropout_rng_impl=None))
+        assert L.TIE_KEY_MODE is None and L.DROPOUT_RNG_IMPL is None
+    finally:
+        (L.GELU_APPROX, L.TIE_KEY_MODE,
+         L.DROPOUT_RNG_IMPL, L.DROPOUT_BITS) = saved
