@@ -61,6 +61,9 @@ def main():
     ap.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
                     help="ops.layers.GELU_APPROX: tanh approximation "
                          "(torch nn.GELU(approximate='tanh') formula)")
+    ap.add_argument("--stacked", action="store_true",
+                    help="config.stacked_streams: batch the per-modality "
+                         "trunk into (M*B)-batch ops (ModelCross only)")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -118,6 +121,8 @@ def main():
         cfg.remat = False
     if args.dropout is not None:
         cfg.dropout = args.dropout
+    if args.stacked:
+        cfg.stacked_streams = True
 
     rng = np.random.default_rng(0)
     imgs = (rng.normal(size=(batch, M, 1, *cfg.img_size)) * 800).astype(np.float32)

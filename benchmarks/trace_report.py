@@ -59,7 +59,7 @@ def device_op_events(trace):
 _CATEGORIES = [
     ("pallas", re.compile(r"custom-call|tpu_custom_call|flash|resample",
                           re.I)),
-    ("conv", re.compile(r"convolution|conv", re.I)),
+    ("conv", re.compile(r"convolution", re.I)),
     ("gemm", re.compile(r"dot|einsum|matmul", re.I)),
     ("rng", re.compile(r"rng|bit-?generator|threefry|philox", re.I)),
     ("copy/layout", re.compile(r"copy|transpose|bitcast|reshape|pad\b|pad\.",
@@ -76,12 +76,17 @@ _CATEGORIES = [
 def categorize(name, hlo_category=""):
     """Map an op event to a coarse category.
 
-    Prefer the profiler's own hlo category (args.long_name carries the HLO
-    text; args category strings like "%fusion.1 = ..." name the root op).
+    `hlo_category` should be the profiler's own args["hlo_category"] when
+    present (the true opcode bucket, e.g. "custom-call") — matching the raw
+    long_name HLO text instead mis-buckets fusions whose *operands* are
+    custom-calls as pallas, and "convert_…" fusions as conv.
     """
-    text = f"{name} {hlo_category}"
+    if hlo_category:
+        for cat, rx in _CATEGORIES:
+            if rx.search(hlo_category):
+                return cat
     for cat, rx in _CATEGORIES:
-        if rx.search(text):
+        if rx.search(name):
             return cat
     return "other"
 
@@ -102,16 +107,12 @@ def main():
     for ev in device_op_events(trace):
         dur = float(ev["dur"])
         name = ev.get("name", "?")
-        hlo = ""
         a = ev.get("args") or {}
-        # jaxlib exposes the HLO text under long_name / hlo_op; use whatever
-        # is present to sharpen categorization of generic fusion names.
-        for k in ("long_name", "hlo_op", "hlo_category", "tf_op"):
-            if a.get(k):
-                hlo += " " + str(a[k])
+        # the profiler's own hlo_category is the true opcode bucket; raw
+        # long_name text would mis-bucket fusions by their operand names
         per_op[name][0] += dur
         per_op[name][1] += 1
-        per_cat[categorize(name, hlo)] += dur
+        per_cat[categorize(name, str(a.get("hlo_category") or ""))] += dur
         ts = float(ev.get("ts", 0.0))
         t0, t1 = min(t0, ts), max(t1, ts + dur)
 

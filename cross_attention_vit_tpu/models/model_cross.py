@@ -26,9 +26,9 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import initializers as init_ops
-from ..ops.attention import cross_attention_cls, self_attention
-from ..ops.layers import (RngStream, dropout, feed_forward, layernorm, linear,
-                          mlp_head, promote_input)
+from ..ops.attention import _sdpa, cross_attention_cls, self_attention
+from ..ops.layers import (RngStream, dropout, feed_forward, gelu, layernorm,
+                          linear, mlp_head, promote_input)
 from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
 
@@ -158,28 +158,138 @@ def _cross_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
     return fused  # (B, 1, H)
 
 
+# ---------------------------------------------------------------------------
+# stream-stacked trunk (config.stacked_streams) — batches the M per-modality
+# self-attention stacks into single (M·B)-batch ops.  Same math per stream
+# (each keeps its own weights, stacked on a leading modality axis at apply
+# time); one flash-kernel call and one batched GEMM replace M smaller ones,
+# cutting per-op dispatch/fixed costs at small batch.  Off by default: train-
+# mode dropout masks realize differently (one draw per layer instead of one
+# per (stream, layer)) — same distribution, different bits.
+# ---------------------------------------------------------------------------
+
+def _linear_s(p: dict, x: jax.Array, cdt) -> jax.Array:
+    """Per-stream Linear on stacked streams: (M,B,N,F) @ (M,F,G) + (M,G)."""
+    out_dtype = x.dtype
+    op = cdt if cdt is not None else out_dtype
+    y = jnp.einsum("mbnf,mfg->mbng", x.astype(op), p["kernel"].astype(op),
+                   preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"].astype(jnp.float32)[:, None, None, :]
+    return y.astype(out_dtype)
+
+
+def _layernorm_s(p: dict, x: jax.Array) -> jax.Array:
+    """LayerNorm with per-stream (M,H) scale/bias on (M,B,N,H) input."""
+    return layernorm({"scale": p["scale"][:, None, None, :],
+                      "bias": p["bias"][:, None, None, :]}, x)
+
+
+def _feed_forward_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
+                    train: bool, cdt) -> jax.Array:
+    from jax.ad_checkpoint import checkpoint_name
+
+    h = gelu(_linear_s(p["fc1"], x, cdt))
+    h = dropout(h, rate, rng, train)
+    h = checkpoint_name(h, "ffn_hidden")
+    h = _linear_s(p["fc2"], h, cdt)
+    return dropout(h, rate, rng, train)
+
+
+def _self_attention_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
+                      train: bool, cdt, impl: str) -> jax.Array:
+    """Fused-QKV self-attention on stacked streams (M,B,N,H) with per-stream
+    weights (M,H,3,K,D) / (M,K,D,H) — one (M·B)-batch kernel call."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    in_dtype = x.dtype
+    if cdt is not None:
+        x = x.astype(cdt)
+    kernel = p["qkv"]["kernel"].astype(x.dtype)
+    M, B, N, H = x.shape
+    if impl == "flash":
+        from ..kernels.flash_attention import flash_attention_qkv_tn
+
+        # GEMM-native transposed layout, same as the unstacked path
+        # (ops/attention.py): batched over m, output N-minor
+        qkv = jnp.einsum("mbnh,mhskd->smbkdn", x, kernel,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = checkpoint_name(qkv, "qkv")
+        s, _, _, K, D, Nn = qkv.shape
+        out = flash_attention_qkv_tn(qkv.reshape(3, M * B, K, D, Nn),
+                                     D ** -0.5)
+        out = checkpoint_name(out.reshape(M, B, K, D, Nn), "attn_out")
+        y = jnp.einsum("mbkdn,mkdh->mbnh", out,
+                       p["out"]["kernel"].astype(out.dtype),
+                       preferred_element_type=jnp.float32)
+    else:
+        qkv = jnp.einsum("mbnh,mhskd->smbknd", x, kernel,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = checkpoint_name(qkv, "qkv")
+        q, k, v = qkv[0], qkv[1], qkv[2]          # (M, B, K, N, D)
+        K, D = q.shape[2], q.shape[-1]
+        out = _sdpa(q.reshape(M * B, K, N, D), k.reshape(M * B, K, N, D),
+                    v.reshape(M * B, K, N, D), D ** -0.5)
+        out = checkpoint_name(out.reshape(M, B, K, N, D), "attn_out")
+        y = jnp.einsum("mbknd,mkdh->mbnh", out,
+                       p["out"]["kernel"].astype(out.dtype),
+                       preferred_element_type=jnp.float32)
+    y = (y + p["out"]["bias"].astype(jnp.float32)[:, None, None, :]
+         ).astype(in_dtype)
+    return dropout(y, rate, rng, train).astype(in_dtype)
+
+
+def _self_block_s(p: dict, x: jax.Array, config: Config, rng: RngStream,
+                  train: bool, cdt, impl: str) -> jax.Array:
+    x = _self_attention_s(p["attn"], _layernorm_s(p["attn_norm"], x),
+                          config.dropout, rng, train, cdt, impl) + x
+    x = _feed_forward_s(p["ffn"], _layernorm_s(p["ffn_norm"], x),
+                        config.dropout, rng, train, cdt) + x
+    return x
+
+
 def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
                        rng: RngStream, train: bool, cdt, impl: str) -> list[jax.Array]:
     """Per-stream self-attention stacks then attn_order-routed CLS fusion
     (reference model_cross.py:128-148)."""
     remat = bool(config.get("remat", False))
+    stacked = bool(config.get("stacked_streams", False)) and len(streams) > 1
 
-    def blk_fn(blk_params, x, key):
-        # a fresh RngStream per block keyed by an explicit argument keeps
-        # dropout deterministic under jax.checkpoint's backward recompute
-        return _self_block(blk_params, x, config, RngStream(key), train, cdt,
-                           impl)
+    if stacked:
+        def blk_fn_s(blk_params, x, key):
+            return _self_block_s(blk_params, x, config, RngStream(key), train,
+                                 cdt, impl)
 
-    if remat:
-        from ..ops.layers import remat_wrap
+        if remat:
+            from ..ops.layers import remat_wrap
 
-        blk_fn = remat_wrap(blk_fn, config)
+            blk_fn_s = remat_wrap(blk_fn_s, config)
 
-    attn = []
-    for m, x in enumerate(streams):
-        for blk in p["self_blocks"][m]:
-            x = blk_fn(blk, x, rng() if train else jax.random.key(0))
-        attn.append(x)
+        xs = jnp.stack(streams)                      # (M, B, N, H)
+        n_layers = len(p["self_blocks"][0])
+        for layer in range(n_layers):
+            blk = jax.tree.map(
+                lambda *leaves: jnp.stack(leaves),
+                *[p["self_blocks"][m][layer] for m in range(len(streams))])
+            xs = blk_fn_s(blk, xs, rng() if train else jax.random.key(0))
+        attn = [xs[m] for m in range(len(streams))]
+    else:
+        def blk_fn(blk_params, x, key):
+            # a fresh RngStream per block keyed by an explicit argument keeps
+            # dropout deterministic under jax.checkpoint's backward recompute
+            return _self_block(blk_params, x, config, RngStream(key), train,
+                               cdt, impl)
+
+        if remat:
+            from ..ops.layers import remat_wrap
+
+            blk_fn = remat_wrap(blk_fn, config)
+
+        attn = []
+        for m, x in enumerate(streams):
+            for blk in p["self_blocks"][m]:
+                x = blk_fn(blk, x, rng() if train else jax.random.key(0))
+            attn.append(x)
 
     routing = dict(_attn_pairs(config))  # validated (cls_stream -> token_stream)
     outs = []

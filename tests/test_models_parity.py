@@ -180,3 +180,73 @@ def test_remat_vit_matches():
     modify_config(cfg_r, {"remat": True})
     l1 = float(mv.apply(params, cfg_r, img, labels, train=True, rng=key)[1])
     assert l0 == pytest.approx(l1, rel=1e-6)
+
+
+@pytest.mark.parametrize("attn_order,m", [
+    ({"0": "1", "1": "2", "2": "0"}, 3),
+    ({}, 2),
+])
+def test_stacked_streams_matches_unstacked(attn_order, m):
+    """config.stacked_streams batches the per-modality trunk into (M·B)-batch
+    ops with per-stream weights stacked at apply time — eval-mode logits must
+    match the unstacked path (same math, batched GEMM order), and gradients
+    must agree at dropout 0."""
+    cfg = small_cross_config(attn_order, m)
+    params = model_cross.init(jax.random.key(3), cfg)
+    img, labels = make_batch(cfg)
+
+    cfg_s = small_cross_config(attn_order, m)
+    modify_config(cfg_s, {"stacked_streams": True})
+
+    l0, loss0 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
+        params, img, labels)
+    l1, loss1 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg_s, x, y))(
+        params, img, labels)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
+                               atol=1e-5, rtol=1e-5)
+    assert float(loss0) == pytest.approx(float(loss1), rel=1e-6)
+
+    # gradients at dropout 0 (train mode, no stochastic divergence)
+    cfg0 = small_cross_config(attn_order, m)
+    modify_config(cfg0, {"dropout": 0.0})
+    cfg0_s = small_cross_config(attn_order, m)
+    modify_config(cfg0_s, {"dropout": 0.0, "stacked_streams": True})
+    key = jax.random.key(11)
+    g0 = jax.grad(lambda p: model_cross.apply(p, cfg0, img, labels,
+                                              train=True, rng=key)[1])(params)
+    g1 = jax.grad(lambda p: model_cross.apply(p, cfg0_s, img, labels,
+                                              train=True, rng=key)[1])(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-4)
+
+
+def test_stacked_streams_train_dropout_runs():
+    """Stacked train mode with dropout: deterministic per key, engages masks."""
+    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
+    modify_config(cfg, {"stacked_streams": True})
+    params = model_cross.init(jax.random.key(0), cfg)
+    img, labels = make_batch(cfg)
+    f = jax.jit(lambda p, x, y, k: model_cross.apply(p, cfg, x, y, train=True,
+                                                     rng=k))
+    l1, loss1 = f(params, img, labels, jax.random.key(1))
+    l1b, _ = f(params, img, labels, jax.random.key(1))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l1b))
+    assert np.isfinite(float(loss1))
+
+
+def test_stacked_streams_remat_matches():
+    """stacked_streams composes with jax.checkpoint selective remat."""
+    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
+    modify_config(cfg, {"stacked_streams": True})
+    params = model_cross.init(jax.random.key(2), cfg)
+    img, labels = make_batch(cfg)
+    key = jax.random.key(5)
+    loss0 = float(model_cross.apply(params, cfg, img, labels, train=True,
+                                    rng=key)[1])
+    cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
+    modify_config(cfg_r, {"stacked_streams": True, "remat": True,
+                          "remat_policy": "save_attn_masks"})
+    loss1 = float(model_cross.apply(params, cfg_r, img, labels, train=True,
+                                    rng=key)[1])
+    assert loss0 == pytest.approx(loss1, rel=1e-6)
