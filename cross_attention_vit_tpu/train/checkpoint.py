@@ -138,6 +138,18 @@ class CheckpointManager:
                 return None
         fname = f"epoch={epoch:02d}-{self.monitor}={metric_value:.4f}{self.tag}.npz"
         path = self.dir / fname
+        existing = next((e for e in self._entries if e["file"] == fname), None)
+        if (existing is not None and existing.get("epoch") == epoch
+                and existing["metric"] == float(metric_value)
+                and path.exists()):
+            # a resumed run replaying this epoch: replay is bit-identical
+            # through a kill/restore boundary (docs/RUN_r02.md), so an
+            # already-durable checkpoint with the same epoch AND exact metric
+            # is the same bytes — skip the ~GB re-fetch + rewrite (measured:
+            # each duplicate re-save cost minutes of relayed D2H during the
+            # RUN_r03 resume).  Any metric mismatch falls through to a real
+            # overwrite.
+            return path
         save_pytree(path, state, async_write=self.async_write)
         # a resumed run re-saves epochs it replayed: the file is overwritten
         # in place, so replace any manifest entry with the same name instead
