@@ -15,34 +15,39 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int = -1, model: int = 1, pipe: int = 1,
+def make_mesh(data: int = -1, model: int = 1, pipe: int = 1, seq: int = 1,
               devices=None) -> Mesh:
-    """Mesh with ('pipe', 'data', 'model') axes ('pipe' omitted when 1, so
-    the common DP/TP case keeps its 2-D ('data', 'model') shape).
+    """Mesh with ('pipe', 'data', 'seq', 'model') axes (size-1 'pipe'/'seq'
+    axes are omitted, so the common DP/TP case keeps its 2-D
+    ('data', 'model') shape).
 
     data=-1 means "all remaining devices".  The 'model' axis should divide
     num_heads (16 in the live configs) so attention TP stays head-aligned,
     and map to physically-adjacent chips (axis order puts 'model' innermost,
-    which matches ICI nearest-neighbor layout on TPU slices).  'pipe' is
-    outermost: stage boundaries are crossed once per microbatch tick while
-    TP collectives fire every layer, so TP gets the tight rings.
+    which matches ICI nearest-neighbor layout on TPU slices).  'seq'
+    (sequence/context parallelism — parallel/ring.py) sits just outside
+    'model': its ring ppermutes fire once per attention layer, less often
+    than TP's per-GEMM psums but far more often than 'pipe' stage crossings,
+    which stay outermost.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if data == -1:
-        if n % (model * pipe):
+        if n % (model * pipe * seq):
             raise ValueError(f"{n} devices not divisible by "
-                             f"model={model} * pipe={pipe}")
-        data = n // (model * pipe)
-    if data * model * pipe > n:
-        raise ValueError(f"mesh {pipe}x{data}x{model} needs "
-                         f"{data * model * pipe} devices, have {n}")
+                             f"model={model} * pipe={pipe} * seq={seq}")
+        data = n // (model * pipe * seq)
+    if data * model * pipe * seq > n:
+        raise ValueError(f"mesh {pipe}x{data}x{seq}x{model} needs "
+                         f"{data * model * pipe * seq} devices, have {n}")
     # sub-meshes are allowed: take a contiguous prefix (adjacent chips)
-    devices = devices.ravel()[:data * model * pipe]
-    if pipe == 1:
-        return Mesh(devices.reshape(data, model), ("data", "model"))
-    return Mesh(devices.reshape(pipe, data, model),
-                ("pipe", "data", "model"))
+    devices = devices.ravel()[:data * model * pipe * seq]
+    shape = [pipe, data, seq, model]
+    names = ["pipe", "data", "seq", "model"]
+    keep = [i for i, (s, nm) in enumerate(zip(shape, names))
+            if s > 1 or nm in ("data", "model")]
+    return Mesh(devices.reshape([shape[i] for i in keep]),
+                tuple(names[i] for i in keep))
 
 
 def multihost_init(coordinator_address: str | None = None,
