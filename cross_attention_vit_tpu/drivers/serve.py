@@ -1,0 +1,328 @@
+"""Inference server: micro-batched, bucket-compiled checkpoint serving.
+
+The reference has no serving path — its test hooks only collect logits and
+targets (model_cross.py:294-308) and inference means re-running a training
+script.  This driver completes the production story TPU-style:
+
+  * **Static-shape buckets**: XLA compiles one eval forward per batch bucket
+    (default 1/2/4/8) at startup; requests pad up to the nearest bucket so
+    serving never triggers a recompile (dynamic batch would re-trace per
+    size — the cardinal TPU serving sin).
+  * **Micro-batching**: concurrent requests queue; a single dispatcher
+    thread drains up to the largest bucket per step (waiting `max_wait_ms`
+    for stragglers), so the chip sees large batches under load and
+    single-request latency stays one small-bucket step when idle.  One
+    dispatcher = one process on the chip (the TPU is single-tenant).
+  * **Zero new deps**: stdlib `http.server` (threaded) + `.npy` request
+    bodies; the checkpoint's persisted config JSON rebuilds the
+    architecture and perf knobs exactly as trained (train/checkpoint.py
+    provenance).
+
+Endpoints:
+  GET  /healthz           — model family, param count, buckets, config dims
+  GET  /stats             — served counts, batch-size histogram, latency ms
+  POST /predict           — body: .npy bytes, (M,1,D,H,W) or (B,M,1,D,H,W)
+                            float; returns JSON logits + class-1 probability
+  POST /predict_subject   — {"id": "UCSF-PDGM-0004"} JSON: full NIfTI
+                            pipeline (decode → pad/crop → forward) for a
+                            subject directory under --data
+
+CLI:
+    python -m cross_attention_vit_tpu.drivers.serve \
+        --checkpoint runs/checkpoints/cross/epoch=..npz --port 8000 \
+        --data /root/reference/ucsf-data --img-types DWI SWI ASL
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import get_mgmt_config, get_mgmt_cross_config, modify_config
+from ..models import model_cross, model_vit
+from ..train.checkpoint import load_config_for, restore_pytree
+
+_FAMILIES = {"cross": (model_cross, get_mgmt_cross_config),
+             "vit": (model_vit, get_mgmt_config)}
+
+
+class _Request:
+    __slots__ = ("vols", "event", "result", "error", "t_enqueue")
+
+    def __init__(self, vols: np.ndarray):
+        self.vols = vols            # (b, M, 1, D, H, W)
+        self.event = threading.Event()
+        self.result = None          # (b, num_classes) logits
+        self.error: str | None = None
+        self.t_enqueue = time.monotonic()
+
+
+class InferenceServer:
+    """Checkpoint → jitted bucket forwards → micro-batching dispatcher."""
+
+    def __init__(self, checkpoint: str | Path, model: str = "cross",
+                 img_types=("DWI", "SWI", "ASL"), data_folder: str | None = None,
+                 buckets=(1, 2, 4, 8), max_wait_ms: float = 5.0,
+                 config_overrides=None):
+        module, factory = _FAMILIES[model]
+        cfg = load_config_for(checkpoint)
+        if cfg is None:
+            cfg = factory()
+            modify_config(cfg, dict(
+                num_modalities=len(img_types), dropout=0.0, lr=1e-4,
+                weight_decay=0.0, label_smoothing=0.0, attn_order={},
+                img_aug=False, optim_params={"T_max": 1, "eta_min": 0}))
+        if config_overrides:
+            modify_config(cfg, config_overrides)
+        modify_config(cfg, {"img_aug": False})
+        from ..ops.layers import apply_config_knobs
+
+        apply_config_knobs(cfg)  # honor gelu_approx etc. saved with the run
+        self.cfg = cfg
+        self.model_name = model
+        self.img_types = tuple(img_types)
+        self.data_folder = data_folder
+        self.buckets = tuple(sorted(buckets))
+        self.max_wait_s = max_wait_ms / 1e3
+
+        like = jax.eval_shape(lambda: module.init(jax.random.key(0), cfg))
+        self.params = jax.tree.map(
+            jnp.asarray, restore_pytree(checkpoint, {"params": like})["params"])
+        self.n_params = sum(int(np.prod(p.shape))
+                            for p in jax.tree.leaves(self.params))
+        apply = module.apply
+        self._fwd = jax.jit(lambda p, img: apply(p, cfg, img, train=False))
+
+        self._queue: queue.Queue[_Request] = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "volumes": 0, "batches": {},
+                      "latency_ms": []}
+        self._stop = threading.Event()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+    def warmup(self) -> None:
+        """Compile every bucket before accepting traffic (first compile of
+        the full-size model is ~10-40 s; a cold request must not pay it)."""
+        m = self.cfg.num_modalities
+        for b in self.buckets:
+            x = np.zeros((b, m, 1, *self.cfg.img_size), np.float32)
+            jax.block_until_ready(self._fwd(self.params, x))
+
+    def start(self) -> None:
+        self._dispatcher.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._dispatcher.join(timeout=5)
+
+    # -- request path ------------------------------------------------------
+    def predict(self, vols: np.ndarray, timeout: float = 120.0) -> np.ndarray:
+        """vols: (b, M, 1, D, H, W) float32 → (b, num_classes) logits."""
+        want = (self.cfg.num_modalities, 1, *self.cfg.img_size)
+        if vols.ndim == len(want) + 1:
+            if tuple(vols.shape[1:]) != want:
+                raise ValueError(f"volume shape {vols.shape[1:]} != {want}")
+        else:
+            raise ValueError(f"expected (b, {', '.join(map(str, want))}), "
+                             f"got {vols.shape}")
+        req = _Request(np.ascontiguousarray(vols, np.float32))
+        self._queue.put(req)
+        if not req.event.wait(timeout):
+            raise TimeoutError("inference timed out")
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def predict_subject(self, case_id: str) -> np.ndarray:
+        """Full NIfTI pipeline for one subject under `data_folder`."""
+        if self.data_folder is None:
+            raise RuntimeError("server started without --data")
+        from ..data.nifti import read_volume_cropped, volume_path
+
+        vols = [read_volume_cropped(
+                    volume_path(self.data_folder, case_id, t),
+                    tuple(self.cfg.img_size), fill=-1.0)[None]
+                for t in self.img_types]
+        return self.predict(np.stack(vols)[None])[0]
+
+    # -- dispatcher --------------------------------------------------------
+    def _dispatch_loop(self) -> None:
+        max_b = self.buckets[-1]
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            n = first.vols.shape[0]
+            deadline = time.monotonic() + self.max_wait_s
+            while n < max_b:
+                remain = deadline - time.monotonic()
+                if remain <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remain)
+                except queue.Empty:
+                    break
+                batch.append(nxt)
+                n += nxt.vols.shape[0]
+            self._run_batch(batch, n)
+
+    def _run_batch(self, batch: list[_Request], n: int) -> None:
+        bucket = next((b for b in self.buckets if b >= n), None)
+        try:
+            vols = np.concatenate([r.vols for r in batch])
+            if bucket is None:  # oversized burst: split at the largest bucket
+                logits = np.concatenate(
+                    [self._run_padded(vols[i:i + self.buckets[-1]])
+                     for i in range(0, n, self.buckets[-1])])
+            else:
+                logits = self._run_padded(vols, bucket)
+            off = 0
+            now = time.monotonic()
+            with self._stats_lock:
+                self.stats["requests"] += len(batch)
+                self.stats["volumes"] += n
+                self.stats["batches"][n] = self.stats["batches"].get(n, 0) + 1
+                self.stats["latency_ms"].extend(
+                    (now - r.t_enqueue) * 1e3 for r in batch)
+                del self.stats["latency_ms"][:-1000]  # keep a bounded window
+            for r in batch:
+                b = r.vols.shape[0]
+                r.result = logits[off:off + b]
+                off += b
+                r.event.set()
+        except Exception as e:  # surface to every waiter, keep serving
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+                r.event.set()
+
+    def _run_padded(self, vols: np.ndarray, bucket: int | None = None) -> np.ndarray:
+        n = vols.shape[0]
+        if bucket is None:
+            bucket = next(b for b in self.buckets if b >= n)
+        if n < bucket:
+            pad = np.zeros((bucket - n, *vols.shape[1:]), vols.dtype)
+            vols = np.concatenate([vols, pad])
+        logits = self._fwd(self.params, vols)
+        return np.asarray(jax.device_get(logits))[:n]
+
+    # -- introspection -----------------------------------------------------
+    def health(self) -> dict:
+        return {"status": "ok", "model": self.model_name,
+                "params": self.n_params, "buckets": list(self.buckets),
+                "num_modalities": int(self.cfg.num_modalities),
+                "img_size": list(self.cfg.img_size),
+                "img_types": list(self.img_types)}
+
+    def stats_view(self) -> dict:
+        with self._stats_lock:
+            lat = sorted(self.stats["latency_ms"])
+            q = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+                 if lat else None)
+            return {"requests": self.stats["requests"],
+                    "volumes": self.stats["volumes"],
+                    "batch_histogram": dict(self.stats["batches"]),
+                    "latency_ms": {"p50": q(0.5), "p90": q(0.9),
+                                   "p99": q(0.99)}}
+
+
+def make_handler(server: InferenceServer):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default; /stats has the data
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, server.health())
+            elif self.path == "/stats":
+                self._reply(200, server.stats_view())
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.path == "/predict":
+                    vols = np.load(io.BytesIO(body), allow_pickle=False)
+                    if vols.ndim == 5:  # single item: add the batch axis
+                        vols = vols[None]
+                    logits = server.predict(vols)
+                elif self.path == "/predict_subject":
+                    case_id = json.loads(body)["id"]
+                    logits = server.predict_subject(case_id)[None]
+                else:
+                    return self._reply(404, {"error": f"no route {self.path}"})
+            except (ValueError, KeyError, RuntimeError, TimeoutError) as e:
+                return self._reply(400, {"error": str(e)})
+            e = np.exp(logits - logits.max(1, keepdims=True))
+            probs = e / e.sum(1, keepdims=True)
+            self._reply(200, {"logits": logits.tolist(),
+                              "prob_class1": probs[:, 1].tolist()})
+
+    return Handler
+
+
+def serve(server: InferenceServer, host: str = "127.0.0.1",
+          port: int = 8000) -> ThreadingHTTPServer:
+    """Bind, warm up every bucket, start the dispatcher; returns the bound
+    httpd (caller runs serve_forever, or uses it as a handle in tests)."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(server))
+    server.warmup()
+    server.start()
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="serve a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--model", choices=list(_FAMILIES), default="cross")
+    p.add_argument("--img-types", nargs="+", default=["DWI", "SWI", "ASL"])
+    p.add_argument("--data", default=None,
+                   help="NIfTI root for /predict_subject")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    args = p.parse_args(argv)
+
+    server = InferenceServer(args.checkpoint, args.model,
+                             img_types=tuple(args.img_types),
+                             data_folder=args.data, buckets=args.buckets,
+                             max_wait_ms=args.max_wait_ms)
+    httpd = serve(server, args.host, args.port)
+    print(f"serving {args.model} ({server.n_params / 1e6:.1f}M params) "
+          f"on http://{args.host}:{args.port}  buckets={args.buckets}")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()
