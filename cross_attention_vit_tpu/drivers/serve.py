@@ -114,11 +114,15 @@ class InferenceServer:
     # -- lifecycle ---------------------------------------------------------
     def warmup(self) -> None:
         """Compile every bucket before accepting traffic (first compile of
-        the full-size model is ~10-40 s; a cold request must not pay it)."""
+        the full-size model is ~10-40 s; a cold request must not pay it).
+        Sync via a D2H fetch, not block_until_ready: on relayed runtimes the
+        latter can ack before compilation actually finishes, leaking the
+        compile wait into the first real request (measured: a 43 s first
+        request behind a 'completed' warmup)."""
         m = self.cfg.num_modalities
         for b in self.buckets:
             x = np.zeros((b, m, 1, *self.cfg.img_size), np.float32)
-            jax.block_until_ready(self._fwd(self.params, x))
+            self._run_padded(x, b)  # device_get inside = trustworthy sync
 
     def start(self) -> None:
         self._dispatcher.start()
