@@ -42,9 +42,15 @@ def main():
     p.add_argument("--img-types", nargs="+", default=["DWI", "SWI", "ASL"])
     p.add_argument("--requests", type=int, default=40)
     p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--jit-cache", default=None)
     args = p.parse_args()
 
     from cross_attention_vit_tpu.drivers.serve import InferenceServer, serve
+
+    if args.jit_cache:
+        from cross_attention_vit_tpu.utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.jit_cache)
 
     srv = InferenceServer(args.checkpoint, args.model,
                           img_types=tuple(args.img_types),

@@ -311,7 +311,16 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--jit-cache", default=None, metavar="DIR",
+                   help="persistent XLA compile cache: bucket warmup costs "
+                        "minutes for the full-size model on first launch, "
+                        "seconds on every restart after")
     args = p.parse_args(argv)
+
+    if args.jit_cache:
+        from ..utils.misc import enable_compilation_cache
+
+        enable_compilation_cache(args.jit_cache)
 
     server = InferenceServer(args.checkpoint, args.model,
                              img_types=tuple(args.img_types),

@@ -68,6 +68,34 @@ def test_ring_attention_axis_size_one_is_dense():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
 
 
+def test_ring_composes_with_head_sharded_tp():
+    # sequence parallelism must compose with Megatron head-split TP: heads
+    # shard over 'model', tokens over 'seq', batch over 'data' — the ring
+    # body never mixes heads, so the same program runs per head shard
+    try:
+        from jax import shard_map
+        rep_kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
+    import functools
+
+    q, k, v = _qkv(b=2, heads=4, n=32, d=8)
+    mesh = make_mesh(data=2, seq=2, model=2)
+    spec = P("data", "model", "seq", None)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, **rep_kw)
+    def sharded(q, k, v):
+        return ring_attention(q, k, v, scale=q.shape[-1] ** -0.5,
+                              axis_name="seq", axis_size=2)
+
+    out = sharded(q, k, v)
+    ref = _sdpa(q, k, v, q.shape[-1] ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_make_mesh_seq_axis_layout():
     mesh = make_mesh(data=2, seq=2, model=2)
     assert tuple(mesh.axis_names) == ("data", "seq", "model")
