@@ -73,7 +73,7 @@ class InferenceServer:
     def __init__(self, checkpoint: str | Path, model: str = "cross",
                  img_types=("DWI", "SWI", "ASL"), data_folder: str | None = None,
                  buckets=(1, 2, 4, 8), max_wait_ms: float = 5.0,
-                 config_overrides=None):
+                 config_overrides=None, quantize: str | None = None):
         module, factory = _FAMILIES[model]
         cfg = load_config_for(checkpoint)
         if cfg is None:
@@ -96,8 +96,17 @@ class InferenceServer:
         self.max_wait_s = max_wait_ms / 1e3
 
         like = jax.eval_shape(lambda: module.init(jax.random.key(0), cfg))
-        self.params = jax.tree.map(
-            jnp.asarray, restore_pytree(checkpoint, {"params": like})["params"])
+        self.params = restore_pytree(checkpoint, {"params": like})["params"]
+        self.quantize = quantize
+        self.quantized_kernels = 0
+        if quantize:
+            if quantize != "int8":
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            from ..models.quantize import count_quantized, quantize_for_inference
+
+            self.params = quantize_for_inference(self.params)
+            self.quantized_kernels = count_quantized(self.params)[0]
+        self.params = jax.tree.map(jnp.asarray, self.params)
         self.n_params = sum(int(np.prod(p.shape))
                             for p in jax.tree.leaves(self.params))
         apply = module.apply
@@ -227,6 +236,8 @@ class InferenceServer:
     def health(self) -> dict:
         return {"status": "ok", "model": self.model_name,
                 "params": self.n_params, "buckets": list(self.buckets),
+                "quantize": self.quantize,
+                "quantized_kernels": self.quantized_kernels,
                 "num_modalities": int(self.cfg.num_modalities),
                 "img_size": list(self.cfg.img_size),
                 "img_types": list(self.img_types)}
@@ -311,6 +322,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--buckets", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--quantize", choices=["int8"], default=None,
+                   help="int8 w8a8 FFN GEMMs (inference-only; ops/quant.py)")
     p.add_argument("--jit-cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache: bucket warmup costs "
                         "minutes for the full-size model on first launch, "
@@ -325,7 +338,8 @@ def main(argv=None):
     server = InferenceServer(args.checkpoint, args.model,
                              img_types=tuple(args.img_types),
                              data_folder=args.data, buckets=args.buckets,
-                             max_wait_ms=args.max_wait_ms)
+                             max_wait_ms=args.max_wait_ms,
+                             quantize=args.quantize)
     httpd = serve(server, args.host, args.port)
     print(f"serving {args.model} ({server.n_params / 1e6:.1f}M params) "
           f"on http://{args.host}:{args.port}  buckets={args.buckets}")

@@ -1,0 +1,122 @@
+"""Post-training int8 rewrite of a parameter tree for serving.
+
+`quantize_for_inference(params)` walks the tree and replaces every eligible
+Linear kernel with its int8 form (ops/quant.quantize_weight);
+ops/layers.linear dispatches on the rewritten params, so the SAME model
+apply() serves quantized — no parallel model definition to keep in sync.
+
+Eligible = a dict node NAMED fc1/fc2 (the FFN naming convention across all
+model families) holding a 2-D "kernel" with at least `min_size` elements.
+That selects the FFN of every block and the mlp-head fc1 (the weight- and
+FLOP-heavy GEMMs) while excluding:
+  * attention projections — qkv (H,3,K,D) / out (K,D,H) stay on the bf16
+    flash path, where the parity contract lives;
+  * patch_to_embedding — its rows are RAW voxel intensities (±800 scale,
+    fill −1); per-token int8 on unnormalized physical values is the one
+    place dynamic quantization genuinely loses signal;
+  * the classifier fc2 — (mlp, 2) is below min_size, so the final logits
+    keep full precision;
+  * LayerNorm/bias/CLS/pos leaves (no "kernel").
+
+The reference has no quantization capability (fp32 CUDA end-to-end) — this
+is an inference-only, opt-in extension (`drivers/serve.py --quantize int8`).
+Accuracy: model-level logit drift and prediction stability are pinned in
+tests/test_quant.py over the real 6-subject cohort.
+"""
+
+from __future__ import annotations
+
+from ..ops.quant import quantize_weight
+
+# below this many elements a kernel stays in float: the int8 win is HBM/MXU
+# throughput on big GEMMs, and the 2-class head's logits deserve full
+# precision (same spirit as sharding.FSDP_MIN_SIZE)
+MIN_SIZE = 2 ** 16
+
+
+QUANT_NAMES = ("fc1", "fc2")
+
+
+def _eligible(name: str, node: dict, min_size: int) -> bool:
+    k = node.get("kernel")
+    return (name in QUANT_NAMES and k is not None
+            and getattr(k, "ndim", 0) == 2 and k.size >= min_size)
+
+
+def quantize_for_inference(params, min_size: int = MIN_SIZE):
+    """Returns a new tree with eligible Linear kernels in int8 form.
+
+    Quantized nodes keep their bias and swap kernel → kernel_q +
+    kernel_scale; everything else is passed through by reference."""
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            if _eligible(name, node, min_size):
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out.update(quantize_weight(node["kernel"]))
+                return out
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, name) for v in node)
+        return node
+
+    return walk(params)
+
+
+def calibrate(qparams, apply_fn, *args, margin: float = 1.0):
+    """Static activation scales: run `apply_fn(qparams, *args)` UNJITTED
+    while ops/quant records each quantized layer's activation amax (keyed by
+    kernel_q array identity — robust to call/walk order), then return a new
+    tree with `act_scale = margin · amax / 127` on every quantized node.
+
+    The statically-scaled path drops the per-token amax pass (the measured
+    cost that cancels the int8 GEMM gain — ops/quant.py CALIB note).  Use a
+    representative batch; amax is taken as a running max, so several
+    calibration calls compose."""
+    from ..ops import quant
+
+    prev = quant.CALIB
+    quant.CALIB = {} if prev is None else prev
+    try:
+        apply_fn(qparams, *args)
+        captured = dict(quant.CALIB)
+    finally:
+        quant.CALIB = prev
+
+    import numpy as np
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                amax = captured.get(id(node["kernel_q"]))
+                if amax is None:
+                    return node  # layer not exercised by the sample
+                out = dict(node)
+                out["act_scale"] = np.float32(
+                    margin * amax / 127.0 if amax > 0 else 1.0)
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return walk(qparams)
+
+
+def count_quantized(params) -> tuple[int, int]:
+    """(quantized kernels, int8 bytes) — for logging/health endpoints."""
+    n = b = 0
+
+    def walk(node):
+        nonlocal n, b
+        if isinstance(node, dict):
+            if "kernel_q" in node:
+                n += 1
+                b += node["kernel_q"].size
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(params)
+    return n, b

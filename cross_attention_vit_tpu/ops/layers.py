@@ -98,7 +98,15 @@ def linear(params: dict, x: jax.Array, compute_dtype=None) -> jax.Array:
     """x @ kernel + bias.  Operands go to `compute_dtype` (bf16 on the MXU)
     when given, else to x.dtype; accumulation is always float32 and the
     result is cast back to x.dtype (so bf16 *activations* still get f32
-    matmul accumulation — bf16-accumulate would visibly degrade training)."""
+    matmul accumulation — bf16-accumulate would visibly degrade training).
+
+    Params rewritten by models/quantize.quantize_for_inference carry
+    kernel_q/kernel_scale instead of kernel and dispatch to the int8 w8a8
+    path (inference-only serving optimization; ops/quant.py)."""
+    if "kernel_q" in params:
+        from .quant import qlinear
+
+        return qlinear(params, x)
     kernel = params["kernel"]
     out_dtype = x.dtype
     op_dtype = compute_dtype if compute_dtype is not None else out_dtype
