@@ -22,7 +22,9 @@ sys.path.insert(0, str(ROOT))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["vit4", "cross8"], default="vit4")
+    ap.add_argument("--model", choices=["vit4", "cross8", "vitL6"],
+                    default="vit4",
+                    help="vitL6 = the config-6 ViT-Large eval geometry")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -47,12 +49,19 @@ def main():
 
     common = dict(lr=1e-4, weight_decay=5e-4, label_smoothing=0.0,
                   optim_params={"T_max": 250, "eta_min": 1e-6}, img_aug=False)
-    if args.model == "vit4":
+    if args.model in ("vit4", "vitL6"):
         module = model_vit
         cfg = get_mgmt_config()
         modify_config(cfg, common)
-        modify_config(cfg, dict(num_layers=12, dropout=0.1, num_modalities=2))
-        batch, M = 32, 2
+        if args.model == "vit4":
+            modify_config(cfg, dict(num_layers=12, dropout=0.1,
+                                    num_modalities=2))
+            batch, M = 32, 2
+        else:  # config-6 geometry: ViT-Large eval, batch 6
+            modify_config(cfg, dict(hidden_dim=1024, mlp_dim=4096,
+                                    num_heads=16, num_layers=24, dropout=0.0,
+                                    num_modalities=2))
+            batch, M = 6, 2
         fwd_flops = lambda: F.model_vit_fwd_flops(cfg, batch)
     else:
         module = model_cross
