@@ -62,7 +62,12 @@ def evaluate(checkpoint: str | Path, model: str, data_df, *, folder: str,
     trainer.init_state()
     like = {"params": trainer.params, "opt": trainer.opt_state,
             "epoch": jax.numpy.zeros((), jax.numpy.int32)}
-    state = restore_pytree(checkpoint, like)
+    try:
+        state = restore_pytree(checkpoint, like)
+    except KeyError:
+        # params-only checkpoint (e.g. migrated from a torch state dict via
+        # drivers/convert.py — no optimizer moments to restore)
+        state = restore_pytree(checkpoint, {"params": trainer.params})
     trainer.params = state["params"]
     if mesh is not None:
         from ..parallel import shard_params
