@@ -73,7 +73,8 @@ class InferenceServer:
     def __init__(self, checkpoint: str | Path, model: str = "cross",
                  img_types=("DWI", "SWI", "ASL"), data_folder: str | None = None,
                  buckets=(1, 2, 4, 8), max_wait_ms: float = 5.0,
-                 config_overrides=None, quantize: str | None = None):
+                 config_overrides=None, quantize: str | None = None,
+                 mesh=None):
         module, factory = _FAMILIES[model]
         cfg = load_config_for(checkpoint)
         if cfg is None:
@@ -106,7 +107,23 @@ class InferenceServer:
 
             self.params = quantize_for_inference(self.params)
             self.quantized_kernels = count_quantized(self.params)[0]
-        self.params = jax.tree.map(jnp.asarray, self.params)
+        self.mesh = mesh
+        if mesh is not None:
+            # sharded serving: params per the TP/DP rules, request batches
+            # over 'data' — the same GSPMD program evaluate --mesh runs
+            # (BASELINE config 5); buckets must divide the data axis
+            from ..parallel import batch_sharding, shard_params
+
+            data_axis = dict(zip(mesh.axis_names, mesh.devices.shape))["data"]
+            bad = [b for b in buckets if b % data_axis]
+            if bad:
+                raise ValueError(f"buckets {bad} not divisible by the mesh "
+                                 f"data axis ({data_axis})")
+            self.params = shard_params(self.params, mesh)
+            self._batch_sharding = batch_sharding(mesh, 6)
+        else:
+            self.params = jax.tree.map(jnp.asarray, self.params)
+            self._batch_sharding = None
         self.n_params = sum(int(np.prod(p.shape))
                             for p in jax.tree.leaves(self.params))
         apply = module.apply
@@ -229,6 +246,8 @@ class InferenceServer:
         if n < bucket:
             pad = np.zeros((bucket - n, *vols.shape[1:]), vols.dtype)
             vols = np.concatenate([vols, pad])
+        if self._batch_sharding is not None:
+            vols = jax.device_put(vols, self._batch_sharding)
         logits = self._fwd(self.params, vols)
         return np.asarray(jax.device_get(logits))[:n]
 
@@ -324,6 +343,9 @@ def main(argv=None):
     p.add_argument("--max-wait-ms", type=float, default=5.0)
     p.add_argument("--quantize", choices=["int8"], default=None,
                    help="int8 w8a8 FFN GEMMs (inference-only; ops/quant.py)")
+    p.add_argument("--mesh", default="",
+                   help="e.g. 'data=4,model=2' for sharded multi-chip "
+                        "serving (buckets must divide the data axis)")
     p.add_argument("--jit-cache", default=None, metavar="DIR",
                    help="persistent XLA compile cache: bucket warmup costs "
                         "minutes for the full-size model on first launch, "
@@ -335,11 +357,18 @@ def main(argv=None):
 
         enable_compilation_cache(args.jit_cache)
 
+    mesh = None
+    if args.mesh:
+        from ..parallel import make_mesh
+
+        spec = dict(kv.split("=") for kv in args.mesh.split(","))
+        mesh = make_mesh(int(spec.get("data", -1)), int(spec.get("model", 1)))
+
     server = InferenceServer(args.checkpoint, args.model,
                              img_types=tuple(args.img_types),
                              data_folder=args.data, buckets=args.buckets,
                              max_wait_ms=args.max_wait_ms,
-                             quantize=args.quantize)
+                             quantize=args.quantize, mesh=mesh)
     httpd = serve(server, args.host, args.port)
     print(f"serving {args.model} ({server.n_params / 1e6:.1f}M params) "
           f"on http://{args.host}:{args.port}  buckets={args.buckets}")

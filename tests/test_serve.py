@@ -145,6 +145,27 @@ def test_http_surface(ckpt):
         srv.stop()
 
 
+def test_sharded_serving_matches_single_device(ckpt):
+    from cross_attention_vit_tpu.parallel import make_mesh
+
+    path, cfg, params = ckpt
+    mesh = make_mesh(4, 2)  # DP×TP over the 8 virtual devices
+    srv = InferenceServer(path, "cross", img_types=("T1c", "T2"),
+                          buckets=(4, 8), max_wait_ms=1.0, mesh=mesh)
+    srv.start()
+    try:
+        vols = _vols(cfg, 3)  # pads to the 4-bucket, sharded over 'data'
+        got = srv.predict(vols)
+        want = np.asarray(model_cross.apply(params, cfg, vols, train=False))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        srv.stop()
+    # buckets that don't divide the data axis are rejected up front
+    with pytest.raises(ValueError):
+        InferenceServer(path, "cross", img_types=("T1c", "T2"),
+                        buckets=(1, 2), mesh=mesh)
+
+
 UCSF = "/root/reference/ucsf-data"
 
 
