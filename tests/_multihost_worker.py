@@ -82,12 +82,61 @@ def main():
     host_params = jax.device_get(gathered)
     psum = float(sum(np.abs(x).sum() for x in jax.tree.leaves(host_params)))
 
+    # ring attention across the PROCESS boundary: tokens shard over a 'seq'
+    # axis spanning both hosts, so every ppermute hop in the ring crosses
+    # processes at least once — checked against the dense single-host math
+    ring_err = _ring_across_processes(pid)
+
     print(json.dumps({
         "pid": pid,
         "sampler_draw": sampler_draw.tolist(),
         "metrics": {k: round(float(v), 6) for k, v in metrics.items()},
         "param_abs_sum": round(psum, 4),
+        "ring_err": ring_err,
     }))
+
+
+def _ring_across_processes(pid: int) -> float:
+    import functools
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cross_attention_vit_tpu.ops.attention import _sdpa
+    from cross_attention_vit_tpu.parallel import make_mesh
+    from cross_attention_vit_tpu.parallel.ring import ring_attention
+
+    try:
+        from jax import shard_map
+        rep_kw = {"check_vma": False}
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
+
+    mesh = make_mesh(1, seq=4)  # all 4 devices on the ring, 2 per process
+    spec = P(None, None, "seq", None)
+    sharding = NamedSharding(mesh, spec)
+    rng = np.random.default_rng(42)  # identical global operands on each host
+    q, k, v = (jnp.asarray(a, jnp.float32)
+               for a in rng.normal(size=(3, 2, 2, 32, 8)))
+
+    def make(arr):
+        return jax.make_array_from_callback(arr.shape, sharding,
+                                            lambda idx: np.asarray(arr[idx]))
+
+    qs, ks, vs = make(q), make(k), make(v)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+                       out_specs=spec, **rep_kw)
+    def sharded(q, k, v):
+        return ring_attention(q, k, v, scale=q.shape[-1] ** -0.5,
+                              axis_name="seq", axis_size=4)
+
+    ref = np.asarray(_sdpa(q, k, v, q.shape[-1] ** -0.5))
+    err = jax.jit(lambda a, b, c: jnp.max(jnp.abs(sharded(a, b, c) - ref)),
+                  out_shardings=NamedSharding(mesh, P()))(qs, ks, vs)
+    return float(err)
 
 
 if __name__ == "__main__":

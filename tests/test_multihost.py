@@ -112,6 +112,9 @@ def test_two_process_distributed_training():
     assert r0["sampler_draw"] != r1["sampler_draw"]
     # loss is finite and real training happened
     assert np.isfinite(r0["metrics"]["loss"])
+    # ring attention with the sequence axis spanning both processes matches
+    # dense attention (sequence parallelism over a real process boundary)
+    assert r0["ring_err"] < 1e-6 and r1["ring_err"] < 1e-6, (r0, r1)
 
     # 2-process run ≡ single-process run of the same global batches
     ref_metrics, ref_psum = _single_process_reference()
