@@ -16,10 +16,10 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data: int = -1, model: int = 1, pipe: int = 1, seq: int = 1,
-              devices=None) -> Mesh:
-    """Mesh with ('pipe', 'data', 'seq', 'model') axes (size-1 'pipe'/'seq'
-    axes are omitted, so the common DP/TP case keeps its 2-D
-    ('data', 'model') shape).
+              expert: int = 1, devices=None) -> Mesh:
+    """Mesh with ('pipe', 'data', 'expert', 'seq', 'model') axes (size-1
+    'pipe'/'expert'/'seq' axes are omitted, so the common DP/TP case keeps
+    its 2-D ('data', 'model') shape).
 
     data=-1 means "all remaining devices".  The 'model' axis should divide
     num_heads (16 in the live configs) so attention TP stays head-aligned,
@@ -28,22 +28,26 @@ def make_mesh(data: int = -1, model: int = 1, pipe: int = 1, seq: int = 1,
     (sequence/context parallelism — parallel/ring.py) sits just outside
     'model': its ring ppermutes fire once per attention layer, less often
     than TP's per-GEMM psums but far more often than 'pipe' stage crossings,
-    which stay outermost.
+    which stay outermost.  'expert' (parallel/moe.py) sits between 'data'
+    and 'seq': its all_to_all pair fires once per MoE layer, the same
+    cadence class as 'seq'.
     """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    total_non_data = model * pipe * seq * expert
     if data == -1:
-        if n % (model * pipe * seq):
+        if n % total_non_data:
             raise ValueError(f"{n} devices not divisible by "
-                             f"model={model} * pipe={pipe} * seq={seq}")
-        data = n // (model * pipe * seq)
-    if data * model * pipe * seq > n:
-        raise ValueError(f"mesh {pipe}x{data}x{seq}x{model} needs "
-                         f"{data * model * pipe * seq} devices, have {n}")
+                             f"model={model} * pipe={pipe} * seq={seq} * "
+                             f"expert={expert}")
+        data = n // total_non_data
+    if data * total_non_data > n:
+        raise ValueError(f"mesh {pipe}x{data}x{expert}x{seq}x{model} needs "
+                         f"{data * total_non_data} devices, have {n}")
     # sub-meshes are allowed: take a contiguous prefix (adjacent chips)
-    devices = devices.ravel()[:data * model * pipe * seq]
-    shape = [pipe, data, seq, model]
-    names = ["pipe", "data", "seq", "model"]
+    devices = devices.ravel()[:data * total_non_data]
+    shape = [pipe, data, expert, seq, model]
+    names = ["pipe", "data", "expert", "seq", "model"]
     keep = [i for i, (s, nm) in enumerate(zip(shape, names))
             if s > 1 or nm in ("data", "model")]
     return Mesh(devices.reshape([shape[i] for i in keep]),
