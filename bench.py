@@ -16,6 +16,15 @@ Extras separate chip utilization from the host bottleneck (VERDICT r1 #2):
   mfu             train-step model FLOPs / time / chip bf16 peak
   mfu_fwd         same for the forward
 
+Environment covariates (VERDICT r3 #4 — the e2e number moves with the host
+relay's H2D throughput, which drifts >2x between sessions; these make rounds
+comparable):
+  relay_mb_s            measured H2D throughput of a 64 MB device_put at
+                        bench start (sum-synced; block_until_ready lies)
+  h2d_mb_per_batch      bytes each e2e step ships to the chip (bf16)
+  device_bound_vps      ceiling if decode+H2D were free: batch-6 fwd rate
+  transfer_bound_vps    ceiling if the relay were the only cost
+
 Prints ONE JSON line:
   {"metric": ..., "value": vol/s, "unit": ..., "vs_baseline": ratio, ...extras}
 """
@@ -75,8 +84,28 @@ def _cohort():
     return df
 
 
-def bench_tpu(cfg, df) -> tuple[float, float]:
-    """Returns (volumes_per_sec_e2e, p50_latency_ms_per_volume)."""
+def measure_relay_mb_s() -> float:
+    """H2D throughput of the host↔device link (the axon loopback relay here;
+    PCIe/DMA on a real TPU host).  One 64 MB float32 device_put, sum-synced —
+    the covariate that explains round-over-round e2e drift (measured 63-150+
+    MB/s across sessions on this host, CLAUDE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    float(jnp.sum(jax.device_put(np.zeros((256, 256), np.float32))))  # wake
+    buf = np.random.default_rng(0).standard_normal((16, 1024, 1024)) \
+        .astype(np.float32)  # 64 MB
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = jax.device_put(buf)
+        float(jnp.sum(x))  # D2H scalar forces real completion
+        times.append(time.perf_counter() - t0)
+    return buf.nbytes / 1e6 / min(times)
+
+
+def bench_tpu(cfg, df) -> tuple[float, float, dict]:
+    """Returns (volumes_per_sec_e2e, p50_latency_ms_per_volume, covariates)."""
     import jax
 
     from cross_attention_vit_tpu.data.dataset import BrainDataset
@@ -104,9 +133,25 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
         # a D2H scalar fetch cannot (see bench_device.sync)
         return float(jnp.sum(x))
 
-    # warmup: compile + touch every file once
+    # warmup: compile + touch every file once; keep one device-resident
+    # batch for the device-bound ceiling measurement
+    dev_batch = None
     for imgs, _ in loader(np.arange(6)):
         sync(fwd(params, imgs))
+        dev_batch = imgs
+
+    # ceilings (VERDICT r3 #4): what e2e would be if the other stages were
+    # free — the device-bound rate uses the SAME batch-6 program as the e2e
+    # loop; the transfer bound divides the measured relay rate by the bf16
+    # bytes each batch ships
+    h2d_mb = float(np.prod(dev_batch.shape)) * dev_batch.dtype.itemsize / 1e6
+    reps = 20
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fwd(params, dev_batch)
+    sync(out)
+    device_bound_vps = 6 * reps / (time.perf_counter() - t0)
 
     # steady state: three measurement windows of REPEATS cohort passes each,
     # decode included (no cache); report the median window — the shared-vCPU
@@ -135,7 +180,12 @@ def bench_tpu(cfg, df) -> tuple[float, float]:
         imgs, label = ds[i]
         sync(fwd(params, imgs[None].astype(ml_dtypes.bfloat16)))
         lat.append((time.perf_counter() - t0) * 1000)
-    return vols_per_sec, float(np.percentile(lat, 50))
+
+    covariates = {
+        "h2d_mb_per_batch": round(h2d_mb, 1),
+        "device_bound_vps": round(device_bound_vps, 3),
+    }
+    return vols_per_sec, float(np.percentile(lat, 50)), covariates
 
 
 def bench_device(cfg, df) -> dict:
@@ -265,9 +315,12 @@ def main():
     enable_compilation_cache(str(Path(__file__).parent / ".bench_jit_cache"))
     cfg = _live_cfg()
     df = _cohort()
-    vps, p50 = bench_tpu(cfg, df)
+    relay_mb_s = measure_relay_mb_s()
+    vps, p50, cov = bench_tpu(cfg, df)
     device = bench_device(_live_cfg(), df)
     cpu_vps = bench_cpu_reference(cfg, df)
+    # each e2e volume ships h2d_mb/6 MB; the relay-only ceiling in volumes/s
+    transfer_bound_vps = relay_mb_s / (cov["h2d_mb_per_batch"] / 6)
     print(json.dumps({
         "metric": "e2e_volumes_per_sec_per_chip",
         "value": round(vps, 3),
@@ -276,6 +329,9 @@ def main():
         "p50_latency_ms": round(p50, 1),
         "cpu_reference_volumes_per_sec": round(cpu_vps, 4),
         "config": "ModelCross 3-stream live grid, bf16, batch 6",
+        "relay_mb_s": round(relay_mb_s, 1),
+        "transfer_bound_vps": round(transfer_bound_vps, 3),
+        **cov,
         **device,
     }))
 

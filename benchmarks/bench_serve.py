@@ -35,6 +35,24 @@ def post(base: str, vols: np.ndarray) -> dict:
     return json.load(urllib.request.urlopen(req))
 
 
+def post_maybe_shed(base: str, vols: np.ndarray) -> tuple[bool, float]:
+    """(served?, seconds).  503 (shed) counts as not-served; the client
+    honors Retry-After by sleeping it off before returning."""
+    import urllib.error
+
+    t0 = time.monotonic()
+    try:
+        post(base, vols)
+        return True, time.monotonic() - t0
+    except urllib.error.HTTPError as e:
+        if e.code != 503:
+            raise
+        retry = float(e.headers.get("Retry-After", 1))
+        e.read()
+        time.sleep(retry)
+        return False, time.monotonic() - t0
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", required=True)
@@ -42,6 +60,9 @@ def main():
     p.add_argument("--img-types", nargs="+", default=["DWI", "SWI", "ASL"])
     p.add_argument("--requests", type=int, default=40)
     p.add_argument("--clients", type=int, default=16)
+    p.add_argument("--overload-queue", type=int, default=8,
+                   help="queue bound (volumes) for the overload phase "
+                        "(32 clients against it shows bounded p99 + sheds)")
     p.add_argument("--jit-cache", default=None)
     args = p.parse_args()
 
@@ -97,6 +118,34 @@ def main():
         t.join()
     wall = time.monotonic() - t0
     n_sat = args.clients * per_client
+
+    # overload: 2x the clients, small queue bound — p99 of SERVED requests
+    # must stay bounded (the shed path, 503 + Retry-After, absorbs the rest)
+    srv.max_queue_volumes = args.overload_queue
+    served_lat, shed_count = [], [0]
+    olock = threading.Lock()
+
+    def overload_client(n):
+        for _ in range(n):
+            ok, dt = post_maybe_shed(base, vol)
+            with olock:
+                if ok:
+                    served_lat.append(dt * 1e3)
+                else:
+                    shed_count[0] += 1
+
+    oc = args.clients * 2
+    threads = [threading.Thread(target=overload_client, args=(per_client,))
+               for _ in range(oc)]
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    overload_wall = time.monotonic() - t0
+    served_lat.sort()
+    op99 = (served_lat[min(len(served_lat) - 1, int(0.99 * len(served_lat)))]
+            if served_lat else None)
     stats = json.load(urllib.request.urlopen(f"{base}/stats"))
 
     httpd.shutdown()
@@ -108,6 +157,15 @@ def main():
         "saturated_volumes_per_sec": round(n_sat / wall, 2),
         "saturated_clients": args.clients,
         "batch_histogram": stats["batch_histogram"],
+        "overload_clients": oc,
+        "overload_queue_volumes": args.overload_queue,
+        "overload_served": len(served_lat),
+        "overload_shed": shed_count[0],
+        "overload_served_p99_ms": round(op99, 2) if op99 else None,
+        "overload_volumes_per_sec": round(len(served_lat) / overload_wall, 2),
+        "stats_shed_requests": stats["shed_requests"],
+        "device_ms_p50": stats["device_ms"]["p50"],
+        "transfer_ms_p50": stats["transfer_ms"]["p50"],
         "warmup_s": round(warmup_s, 1),
         "params_m": round(srv.n_params / 1e6, 1),
     }))

@@ -246,6 +246,14 @@ def main(argv=None):
                    help="pipeline mesh axis (pair with "
                         "--set pipeline_stages=N on ModelVIT runs; "
                         "parallel/pipeline.py)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh axis: exact ring attention "
+                        "over 'seq' (sets config seq_parallel to match; "
+                        "parallel/ring.py)")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel mesh axis (pair with "
+                        "--set moe_experts=E on ModelVIT runs; must divide "
+                        "E; parallel/moe.py)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + Adam moments over the 'data' axis "
                         "(ZeRO/FSDP; see parallel/sharding.py)")
@@ -302,7 +310,14 @@ def main(argv=None):
     if args.dp != 0:
         from ..parallel import make_mesh
 
-        mesh = make_mesh(args.dp, args.tp, pipe=args.pp)
+        mesh = make_mesh(args.dp, args.tp, pipe=args.pp, seq=args.sp,
+                         expert=args.ep)
+    elif args.sp > 1 or args.ep > 1:
+        raise SystemExit("--sp/--ep require a mesh (don't pass --dp 0)")
+    if args.sp > 1:
+        # the mesh axis is the source of truth; the config knob routes the
+        # models' attention through the ring (ops/attention.attention_impl)
+        overrides.setdefault("seq_parallel", args.sp)
 
     grids = [list(params_list1), list(params_list2)]
     if args.grid_index is not None:

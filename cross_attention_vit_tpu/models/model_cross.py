@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import initializers as init_ops
-from ..ops.attention import _sdpa, cross_attention_cls, self_attention
+from ..ops.attention import (_sdpa, attention_impl, cross_attention_cls,
+                             self_attention)
 from ..ops.layers import (RngStream, dropout, feed_forward, gelu, layernorm,
                           linear, mlp_head, promote_input)
 from ..ops.losses import cross_entropy
@@ -54,12 +55,17 @@ def _attn_pairs(config: Config) -> list[tuple[int, int]]:
 # ---------------------------------------------------------------------------
 
 def _self_block_params(kg, H: int, mlp: int, heads: int) -> dict:
+    # heads==1 quirk: `to_out = nn.Identity()` when num_heads == 1 and
+    # dim_head == hidden_dim (reference model_cross.py:37,45-48) — dim_head
+    # is H // heads, so heads==1 always triggers it; the "out" params are
+    # omitted and ops.attention.self_attention skips projection + dropout.
+    project_out = not (heads == 1 and H // heads == H)
+    attn = {"qkv": init_ops.fused_qkv_params(kg(), H, heads)}
+    if project_out:
+        attn["out"] = init_ops.head_out_params(kg(), H, heads)
     return {
         "attn_norm": init_ops.layernorm_params(H),
-        "attn": {
-            "qkv": init_ops.fused_qkv_params(kg(), H, heads),
-            "out": init_ops.head_out_params(kg(), H, heads),
-        },
+        "attn": attn,
         "ffn_norm": init_ops.layernorm_params(H),
         "ffn": {
             "fc1": init_ops.linear_params(kg(), H, mlp),
@@ -219,6 +225,9 @@ def _self_attention_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
         out = flash_attention_qkv_tn(qkv.reshape(3, M * B, K, D, Nn),
                                      D ** -0.5)
         out = checkpoint_name(out.reshape(M, B, K, D, Nn), "attn_out")
+        if "out" not in p:  # heads==1 Identity quirk (ops/attention.py)
+            return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(M, B, Nn, K * D) \
+                .astype(in_dtype)
         y = jnp.einsum("mbkdn,mkdh->mbnh", out,
                        p["out"]["kernel"].astype(out.dtype),
                        preferred_element_type=jnp.float32)
@@ -231,6 +240,9 @@ def _self_attention_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
         out = _sdpa(q.reshape(M * B, K, N, D), k.reshape(M * B, K, N, D),
                     v.reshape(M * B, K, N, D), D ** -0.5)
         out = checkpoint_name(out.reshape(M, B, K, N, D), "attn_out")
+        if "out" not in p:  # heads==1 Identity quirk (ops/attention.py)
+            return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(M, B, N, K * D) \
+                .astype(in_dtype)
         y = jnp.einsum("mbknd,mkdh->mbnh", out,
                        p["out"]["kernel"].astype(out.dtype),
                        preferred_element_type=jnp.float32)
@@ -320,7 +332,12 @@ def apply(params: dict, config: Config, img: jax.Array,
     # activation storage dtype (see model_vit.apply): bf16 halves elementwise
     # HBM traffic; matmul accumulation stays f32; default f32 = exact parity
     adt = jnp.dtype(config.get("activation_dtype", "float32"))
-    impl = "flash" if config.use_flash_attention else "xla"
+    # config.seq_parallel > 1 → 'ring' (sequence parallelism over the 'seq'
+    # mesh axis); only the per-stream SELF attention rides the ring — the
+    # CLS-query cross attention is a 1×N sliver (GSPMD gathers its keys)
+    impl = attention_impl(config)
+    if impl == "ring" and config.get("stacked_streams", False):
+        raise ValueError("seq_parallel does not compose with stacked_streams")
     rngs = RngStream(rng)
     B = img.shape[0]
     M = img.shape[1]

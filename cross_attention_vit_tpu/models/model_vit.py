@@ -17,20 +17,35 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import initializers as init_ops
-from ..ops.attention import self_attention
+from ..ops.attention import attention_impl, self_attention
 from ..ops.layers import (RngStream, dropout, feed_forward, layernorm, linear,
                           promote_input, stochastic_depth_row)
 from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
 
 
+def _moe_fields(config: Config) -> tuple[int, int]:
+    """(num_experts, every): expert parallelism is on when num_experts > 1.
+
+    config.moe_experts = E swaps the trunk FFNs for a GShard-style MoE
+    (parallel/moe.py) — a framework growth path past the reference's dense
+    FFN (reference model_cross.py:19-31); `moe_every = k` converts every
+    k-th layer (default 1 = all; GShard's convention is 2)."""
+    return (int(config.get("moe_experts", 0)),
+            max(1, int(config.get("moe_every", 1))))
+
+
 def _layer_params(kg, H: int, mlp: int, heads: int) -> dict:
+    # heads==1 quirk: `to_out = nn.Identity()` when num_heads == 1 and
+    # dim_head == hidden_dim (reference modelv3.py:53-57) — see
+    # models/model_cross._self_block_params.
+    project_out = not (heads == 1 and H // heads == H)
+    attn = {"qkv": init_ops.fused_qkv_params(kg(), H, heads)}
+    if project_out:
+        attn["out"] = init_ops.head_out_params(kg(), H, heads)
     return {
         "attn_norm": init_ops.layernorm_params(H),
-        "attn": {
-            "qkv": init_ops.fused_qkv_params(kg(), H, heads),
-            "out": init_ops.head_out_params(kg(), H, heads),
-        },
+        "attn": attn,
         "ffn_norm": init_ops.layernorm_params(H),
         "ffn": {
             "fc1": init_ops.linear_params(kg(), H, mlp),
@@ -48,9 +63,24 @@ def init(key: jax.Array, config: Config) -> dict:
     patch_dim = p1 * p2 * p3 * config.in_channels
 
     kg = init_ops.KeyGen(key)
-    layers = [_layer_params(kg, H, mlp, config.num_heads)
-              for _ in range(config.num_layers)]
+    moe_experts, moe_every = _moe_fields(config)
+    layers = []
+    for i in range(config.num_layers):
+        lp = _layer_params(kg, H, mlp, config.num_heads)
+        if moe_experts > 1 and i % moe_every == moe_every - 1:
+            # MoE trunk layer: the ffn subtree becomes router + stacked
+            # experts (parallel/moe.py init_moe_ffn); apply detects the
+            # "experts" key, and parallel/sharding's experts/* rule shards
+            # the stacked kernels over the mesh 'expert' axis.
+            from ..parallel.moe import init_moe_ffn
+
+            lp["ffn"] = init_moe_ffn(kg(), H, mlp, moe_experts)
+        layers.append(lp)
     if config.get("pipeline_stages", 0) > 1:
+        if moe_experts > 1:
+            raise ValueError(
+                "pipeline_stages does not compose with moe_experts (the "
+                "GPipe schedule does not thread the MoE balance loss)")
         # PP layout: per-layer trees stacked on a leading depth axis so the
         # trunk shards over the mesh 'pipe' axis (parallel/pipeline.py);
         # Adam is elementwise, so optimizer state inherits the layout.
@@ -82,8 +112,9 @@ def apply(params: dict, config: Config, img: jax.Array,
     # f32 accumulation (ops.layers.linear) and softmax/LN internals stay f32.
     # float32 (default) preserves the parity contract bit-for-bit.
     adt = jnp.dtype(config.get("activation_dtype", "float32"))
-    impl = "flash" if config.use_flash_attention else "xla"
+    impl = attention_impl(config)  # 'ring' when config.seq_parallel > 1
     drop_path = config.get("drop_path_rate", 0.0)
+    moe_experts, _ = _moe_fields(config)
     rngs = RngStream(rng)
     B, M = img.shape[0], img.shape[1]
 
@@ -98,37 +129,59 @@ def apply(params: dict, config: Config, img: jax.Array,
     x = x + params["pos_embedding"].astype(x.dtype)
     x = dropout(x, config.dropout, rngs, train)
 
-    def layer_fn(layer, x, key):
+    def ffn_fn(layer, h, local):
+        if "experts" in layer["ffn"]:
+            # MoE trunk layer (config.moe_experts): GShard routing over the
+            # ambient expert mesh (Trainer sets it — parallel/moe.py); output
+            # dropout matches the dense FFN's trailing dropout, the internal
+            # per-expert GELU path carries none.  Returns the Switch balance
+            # loss for the training objective.
+            from ..parallel.moe import active_expert_mesh, moe_ffn
+
+            f, aux = moe_ffn(
+                layer["ffn"], h,
+                num_selected=int(config.get("moe_num_selected", 2)),
+                capacity_factor=float(config.get("moe_capacity_factor", 1.25)),
+                mesh=active_expert_mesh())
+            f = dropout(f, config.dropout, local, train)
+            return f, aux["balance_loss"]
+        return feed_forward(layer["ffn"], h, config.dropout, local, train,
+                            compute_dtype=cdt), jnp.zeros((), jnp.float32)
+
+    def layer_fn_bal(layer, x, key):
         # explicit per-layer key → deterministic dropout under remat recompute
         local = RngStream(key)
         a = self_attention(layer["attn"], layernorm(layer["attn_norm"], x),
                            config.num_heads, config.dropout, local, train,
                            compute_dtype=cdt, impl=impl)
         x = stochastic_depth_row(a, drop_path, local, train) + x
-        f = feed_forward(layer["ffn"], layernorm(layer["ffn_norm"], x),
-                         config.dropout, local, train, compute_dtype=cdt)
+        f, bal = ffn_fn(layer, layernorm(layer["ffn_norm"], x), local)
         x = stochastic_depth_row(f, drop_path, local, train) + x
-        return x
+        return x, bal
 
     if config.get("remat", False):
         from ..ops.layers import remat_wrap
 
-        layer_fn = remat_wrap(layer_fn, config)
+        layer_fn_bal = remat_wrap(layer_fn_bal, config)
 
+    balance = jnp.zeros((), jnp.float32)
     pp = config.get("pipeline_stages", 0)
     if pp > 1:
         # GPipe over the mesh 'pipe' axis (serial-equivalent fallback when no
         # pipeline mesh is active) — parallel/pipeline.py for the schedule.
+        # (init rejects moe_experts + PP, so the dropped balance is always 0.)
         from ..parallel.pipeline import pipeline_layers, stacked_depth
 
         depth = stacked_depth(params["layers"])
         keys = jax.random.split(rngs() if train else jax.random.key(0), depth)
         x = pipeline_layers(
-            params["layers"], layer_fn, x, keys,
-            num_microbatches=config.get("pipeline_microbatches", pp))
+            params["layers"], lambda l, h, k: layer_fn_bal(l, h, k)[0], x,
+            keys, num_microbatches=config.get("pipeline_microbatches", pp))
     else:
         for layer in params["layers"]:
-            x = layer_fn(layer, x, rngs() if train else jax.random.key(0))
+            x, bal = layer_fn_bal(layer, x,
+                                  rngs() if train else jax.random.key(0))
+            balance = balance + bal
 
     h = params["head"]
     cls_out = layernorm(h["norm"], x[:, 0])
@@ -141,4 +194,13 @@ def apply(params: dict, config: Config, img: jax.Array,
     if labels is None:
         return logits
     loss = cross_entropy(logits, labels)  # no label smoothing (modelv3.py:146)
+    if moe_experts > 1 and train:
+        # Switch/GShard auxiliary load-balance term — training objective
+        # only, so eval/checkpoint val_loss stays pure CE (comparable with
+        # dense runs); mean over the MoE layers (uniform routing → ~1.0
+        # regardless of how many layers are converted).
+        n_moe = sum(1 for layer in params["layers"]
+                    if "experts" in layer["ffn"])
+        loss = loss + (float(config.get("moe_balance_weight", 0.01))
+                       * balance / max(1, n_moe))
     return logits, loss

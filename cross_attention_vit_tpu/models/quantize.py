@@ -9,8 +9,13 @@ Eligible = a dict node NAMED fc1/fc2 (the FFN naming convention across all
 model families) holding a 2-D "kernel" with at least `min_size` elements.
 That selects the FFN of every block and the mlp-head fc1 (the weight- and
 FLOP-heavy GEMMs) while excluding:
-  * attention projections — qkv (H,3,K,D) / out (K,D,H) stay on the bf16
-    flash path, where the parity contract lives;
+  * attention projections — by default qkv (H,3,K,D) / out (K,D,H) stay on
+    the bf16 flash path, where the parity contract lives.  `attn=True`
+    (serve --quantize int8+attn) additionally quantizes the self-attention
+    qkv/out projections (~1/3 of the remaining GEMM FLOPs) via
+    ops/quant.qkv_projection / attn_out_projection — the SDPA itself stays
+    bf16/f32.  Cross-attention wq/wk/wv/proj stay float: their query side
+    is a single CLS token (negligible FLOPs);
   * patch_to_embedding — its rows are RAW voxel intensities (±800 scale,
     fill −1); per-token int8 on unnormalized physical values is the one
     place dynamic quantization genuinely loses signal;
@@ -26,7 +31,7 @@ tests/test_quant.py over the real 6-subject cohort.
 
 from __future__ import annotations
 
-from ..ops.quant import quantize_weight
+from ..ops.quant import quantize_weight, quantize_weight_nd
 
 # below this many elements a kernel stays in float: the int8 win is HBM/MXU
 # throughput on big GEMMs, and the 2-class head's logits deserve full
@@ -36,6 +41,10 @@ MIN_SIZE = 2 ** 16
 
 QUANT_NAMES = ("fc1", "fc2")
 
+# self-attention projection layouts (ops/initializers.py): node name →
+# (expected kernel ndim, contracting axes for the per-channel scales)
+ATTN_QUANT = {"qkv": (4, (0,)), "out": (3, (0, 1))}
+
 
 def _eligible(name: str, node: dict, min_size: int) -> bool:
     k = node.get("kernel")
@@ -43,16 +52,31 @@ def _eligible(name: str, node: dict, min_size: int) -> bool:
             and getattr(k, "ndim", 0) == 2 and k.size >= min_size)
 
 
-def quantize_for_inference(params, min_size: int = MIN_SIZE):
+def _attn_eligible(name: str, node: dict, min_size: int) -> bool:
+    spec = ATTN_QUANT.get(name)
+    k = node.get("kernel")
+    return (spec is not None and k is not None
+            and getattr(k, "ndim", 0) == spec[0] and k.size >= min_size)
+
+
+def quantize_for_inference(params, min_size: int = MIN_SIZE,
+                           attn: bool = False):
     """Returns a new tree with eligible Linear kernels in int8 form.
 
     Quantized nodes keep their bias and swap kernel → kernel_q +
-    kernel_scale; everything else is passed through by reference."""
+    kernel_scale; everything else is passed through by reference.
+    attn=True additionally rewrites self-attention qkv/out projections
+    (ops/attention.self_attention dispatches on kernel_q)."""
     def walk(node, name=""):
         if isinstance(node, dict):
             if _eligible(name, node, min_size):
                 out = {k: v for k, v in node.items() if k != "kernel"}
                 out.update(quantize_weight(node["kernel"]))
+                return out
+            if attn and _attn_eligible(name, node, min_size):
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out.update(quantize_weight_nd(node["kernel"],
+                                              ATTN_QUANT[name][1]))
                 return out
             return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, (list, tuple)):

@@ -48,6 +48,17 @@ def _sdpa(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     return out.astype(v.dtype)
 
 
+def attention_impl(config) -> str:
+    """SDPA implementation a config selects: 'ring' (sequence parallelism —
+    config.seq_parallel > 1 routes through parallel/ring.sharded_ring_sdpa,
+    overriding use_flash_attention: the Pallas kernel is single-device and SP
+    exists precisely because one device can't hold the sequence), else
+    'flash' (Pallas kernel) or 'xla'."""
+    if config.get("seq_parallel", 0) > 1:
+        return "ring"
+    return "flash" if config.use_flash_attention else "xla"
+
+
 def self_attention(params: dict, x: jax.Array, num_heads: int,
                    dropout_rate: float, rng: RngStream, train: bool,
                    compute_dtype=None, impl: str = "xla") -> jax.Array:
@@ -55,12 +66,42 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
 
     params: {"qkv": {"kernel": (H, 3, K, D)},
              "out": {"kernel": (K, D, H), "bias": (H,)}}
+
+    heads==1 quirk: the reference builds `to_out = nn.Identity()` when
+    `num_heads == 1 and dim_head == hidden_dim` (model_cross.py:37,45-48;
+    modelv3.py:53-57) — no output projection AND no output dropout (the
+    Identity replaces the whole Sequential).  Models reproduce it by
+    omitting the "out" params (dim_head = H // heads, so heads==1 always
+    satisfies the condition); apply detects the absence here.
     """
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    kernel = params["qkv"]["kernel"].astype(x.dtype)
     from jax.ad_checkpoint import checkpoint_name
+
+    if "kernel_q" in params["qkv"]:
+        # int8 w8a8 attention projections (models/quantize attn=True,
+        # inference-only): qkv/out GEMMs run int8 on the MXU, the SDPA
+        # between them stays float (softmax numerics) — ops/quant.py.
+        from .quant import attn_out_projection, qkv_projection
+
+        qkv = qkv_projection(params["qkv"], x)            # (3, B, K, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        out = _sdpa(q, k, v, q.shape[-1] ** -0.5)
+        if "out" not in params:  # heads==1 Identity quirk (see docstring)
+            b, kk, n, d = out.shape
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, kk * d) \
+                .astype(in_dtype)
+        if "kernel_q" in params["out"]:
+            y = attn_out_projection(params["out"], out)   # (B, N, H) f32
+        else:
+            y = jnp.einsum("bknd,kdh->bnh", out,
+                           params["out"]["kernel"].astype(out.dtype),
+                           preferred_element_type=jnp.float32)
+        y = (y + params["out"]["bias"].astype(jnp.float32)).astype(in_dtype)
+        return dropout(y, dropout_rate, rng, train).astype(in_dtype)
+
+    kernel = params["qkv"]["kernel"].astype(x.dtype)
 
     if impl == "flash":
         # Transposed orientation: the QKV GEMM's natural TPU output layout
@@ -78,6 +119,10 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
         # remat-free anyway (docs/PERF_r03.md).
         from ..kernels.flash_attention import fused_qkv_attention
         out = checkpoint_name(fused_qkv_attention(x, kernel), "attn_out")
+        if "out" not in params:  # heads==1 Identity quirk (see docstring)
+            b, k, d, n = out.shape
+            return jnp.transpose(out, (0, 3, 1, 2)).reshape(b, n, k * d) \
+                .astype(in_dtype)
         out_k = params["out"]["kernel"].astype(out.dtype)
         y = jnp.einsum("bkdn,kdh->bnh", out, out_k,
                        preferred_element_type=jnp.float32)
@@ -88,11 +133,23 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
         qkv = checkpoint_name(qkv, "qkv")
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = q.shape[-1] ** -0.5
+        if impl == "ring":
+            # sequence parallelism (config.seq_parallel): exact ring
+            # attention over the ambient 'seq' mesh axis — parallel/ring.py
+            # (dense-fallback bit-identical when no seq mesh is active)
+            from ..parallel.ring import sharded_ring_sdpa
+            sdpa = sharded_ring_sdpa
+        else:
+            sdpa = _sdpa
         # Named for selective rematerialization: config remat_policy=
         # 'save_attn' keeps the attention output so the backward recompute
         # skips the SDPA — one (B, N, H) residual per layer (67 MB bf16 at
         # batch 32).
-        out = checkpoint_name(_sdpa(q, k, v, scale), "attn_out")
+        out = checkpoint_name(sdpa(q, k, v, scale), "attn_out")
+        if "out" not in params:  # heads==1 Identity quirk (see docstring)
+            b, kk, n, d = out.shape
+            return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, kk * d) \
+                .astype(in_dtype)
         out_k = params["out"]["kernel"].astype(out.dtype)
         y = jnp.einsum("bknd,kdh->bnh", out, out_k,
                        preferred_element_type=jnp.float32)

@@ -15,7 +15,9 @@ Design (GShard-style, TPU-first):
     zero, the residual connection carries them), the standard GShard/Switch
     overflow rule.
   * Expert weights carry a leading E axis sharded over the mesh's 'expert'
-    axis (parallel/sharding.py); the dispatched (E, C, H) token blocks get a
+    axis (standalone: moe_param_specs/shard_moe_params below; embedded in a
+    model tree: parallel/sharding._spec_for recognizes the experts/*
+    subtree); the dispatched (E, C, H) token blocks get a
     matching `with_sharding_constraint`, and GSPMD derives the all_to_all
     pair (tokens→experts, experts→tokens) from the annotations — no
     hand-written collectives, the same discipline as the DP/TP/FSDP rules.
@@ -43,15 +45,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.initializers import xavier_uniform
 
+# Ambient expert-parallel mesh: models read this instead of threading a Mesh
+# through every apply() signature (same convention as
+# parallel/pipeline._ACTIVE_MESH / parallel/ring's seq mesh).  None → the
+# identical serial program.
+_ACTIVE_MESH: Mesh | None = None
+
+
+def set_expert_mesh(mesh: Mesh | None) -> None:
+    """Set (or clear, with None) the mesh model-embedded moe_ffn calls use."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def active_expert_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
 
 def init_moe_ffn(key: jax.Array, hidden: int, mlp_dim: int,
                  num_experts: int, dtype=jnp.float32) -> dict:
     """Params for a MoE FFN: a (H, E) router plus E stacked fc1/fc2 experts.
 
     Expert kernels are stacked on a leading E axis — (E, H, mlp) / (E, mlp, H)
-    — which parallel/sharding.py shards over the 'expert' mesh axis; each
-    expert is drawn with the same xavier-uniform law as the dense FFN so an
-    E=1 MoE is distribution-identical to ops' mlp."""
+    — sharded over the 'expert' mesh axis by moe_param_specs/shard_moe_params
+    (or, inside a full model tree, by parallel/sharding's experts/* rule);
+    each expert is drawn with the same xavier-uniform law as the dense FFN so
+    an E=1 MoE is distribution-identical to ops' mlp."""
     k_router, k_fc1, k_fc2 = jax.random.split(key, 3)
 
     def stack(k, shape):
@@ -81,22 +100,32 @@ def _dispatch_combine(probs: jax.Array, num_selected: int, capacity: int):
     """Top-k routing → (dispatch, combine, aux_loss).
 
     probs: (T, E) float32 router probabilities.  Returns one-hot dispatch
-    (T, E, C) and probability-weighted combine (T, E, C); slots fill in token
+    (T, E, C) and gate-weighted combine (T, E, C); slots fill in token
     order per expert, choice-0 assignments of ALL tokens claim slots before
     any choice-1 assignment (the GShard priority rule, expressed as a
-    cumulative count carried across the k static iterations)."""
+    cumulative count carried across the k static iterations).
+
+    Gates: for k >= 2 the selected probabilities are renormalized to sum to
+    1 per token (the GShard top-2 rule — without it the MoE output scale
+    shrinks ~k/E as E grows); for k == 1 the raw top-1 probability is kept
+    (the Switch Transformer rule — normalizing a single gate to the constant
+    1 would cut the router's gradient path through the combine weights)."""
     t, num_experts = probs.shape
     gate_vals, gate_idx = lax.top_k(probs, num_selected)  # (T, k)
+    if num_selected > 1:
+        gate_vals = gate_vals / gate_vals.sum(axis=-1, keepdims=True)
 
-    counts = jnp.zeros((num_experts,), jnp.float32)
+    # int32 slot accounting: a float32 cumsum loses integer exactness past
+    # ~2^24 tokens, silently corrupting slot assignment at extreme T.
+    counts = jnp.zeros((num_experts,), jnp.int32)
     dispatch = jnp.zeros((t, num_experts, capacity), jnp.float32)
     combine = jnp.zeros((t, num_experts, capacity), jnp.float32)
     for i in range(num_selected):
-        m = jax.nn.one_hot(gate_idx[:, i], num_experts, dtype=jnp.float32)
-        pos = jnp.cumsum(m, axis=0) - 1.0 + counts  # slot index per (t, e)
-        within = m * (pos < capacity)
+        m = jax.nn.one_hot(gate_idx[:, i], num_experts, dtype=jnp.int32)
+        pos = jnp.cumsum(m, axis=0) - 1 + counts  # slot index per (t, e)
+        within = (m * (pos < capacity)).astype(jnp.float32)
         counts = counts + m.sum(axis=0)
-        slot = jax.nn.one_hot((pos * within).astype(jnp.int32), capacity,
+        slot = jax.nn.one_hot(pos * (pos >= 0) * (pos < capacity), capacity,
                               dtype=jnp.float32) * within[..., None]
         dispatch = dispatch + slot
         combine = combine + gate_vals[:, i][:, None, None] * slot

@@ -46,6 +46,18 @@ def _spec_for(path: tuple[str, ...], ndim: int) -> P:
     names = [p for p in path]
     leaf = names[-1]
     parent = names[-2] if len(names) >= 2 else ""
+    grand = names[-3] if len(names) >= 3 else ""
+
+    # MoE expert subtree (parallel/moe.py init_moe_ffn): fc1/fc2 kernels are
+    # STACKED 3-D (E, H, mlp)/(E, mlp, H), biases (E, ·) — the leading E axis
+    # shards over 'expert'; matching the dense fc1/fc2 rules below on these
+    # leaves would shard the wrong axis.  The (H, E) router stays replicated
+    # (falls through: parent 'router' matches no rule).
+    if grand == "experts" and parent in ("fc1", "fc2"):
+        if leaf == "kernel":
+            return P("expert", None, None)
+        if leaf == "bias":
+            return P("expert", None)
 
     if leaf == "kernel":
         if parent == "qkv":

@@ -345,6 +345,29 @@ class Trainer:
             from ..parallel import set_pipeline_mesh
 
             set_pipeline_mesh(mesh)
+        if config.get("seq_parallel", 0) > 1 and mesh is not None:
+            # SP models route attention through the ambient seq mesh
+            # (parallel/ring.py sharded_ring_sdpa)
+            if mesh.shape.get("seq", 1) != config.get("seq_parallel"):
+                raise ValueError(
+                    f"config.seq_parallel={config.get('seq_parallel')} but "
+                    f"mesh 'seq' axis is {mesh.shape.get('seq', 1)} — build "
+                    f"the mesh with make_mesh(..., seq=P)")
+            from ..parallel import set_seq_mesh
+
+            set_seq_mesh(mesh)
+        if config.get("moe_experts", 0) > 1 and mesh is not None \
+                and mesh.shape.get("expert", 1) > 1:
+            # EP models pin dispatch/combine shardings to the ambient expert
+            # mesh (parallel/moe.py); a mesh without an 'expert' axis keeps
+            # the bit-identical serial MoE program
+            if config.get("moe_experts") % mesh.shape["expert"]:
+                raise ValueError(
+                    f"moe_experts={config.get('moe_experts')} not divisible "
+                    f"by mesh 'expert' axis {mesh.shape['expert']}")
+            from ..parallel import set_expert_mesh
+
+            set_expert_mesh(mesh)
         self.data_sharding = data_sharding
         self.log_every = log_every_epochs
         self.stateful = stateful

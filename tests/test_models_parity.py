@@ -93,6 +93,54 @@ def test_model_vit_parity(m):
     assert float(loss) == pytest.approx(want_loss, rel=1e-4, abs=1e-5)
 
 
+def test_model_cross_heads1_identity_parity():
+    """heads==1 quirk: the reference's Attention builds `to_out =
+    nn.Identity()` when num_heads == 1 and dim_head == hidden_dim
+    (model_cross.py:37,45-48) — no output projection, no output dropout.
+    Our init omits the "out" params and apply skips the projection; the
+    float64 oracle (torch_oracle.self_attn_t) reproduces the Identity."""
+    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
+    cfg.num_heads = 1
+    params = model_cross.init(jax.random.key(3), cfg)
+    # every self block must carry qkv but NO out projection
+    for stream in params["multi_blocks"][0]["self_blocks"]:
+        for layer in stream:
+            assert "qkv" in layer["attn"] and "out" not in layer["attn"]
+    img, labels = make_batch(cfg)
+
+    logits, loss = jax.jit(
+        lambda p, x, y: model_cross.apply(p, cfg, x, y, train=False)
+    )(params, img, labels)
+
+    np_params = jax.tree.map(np.asarray, params)
+    want_logits, want_loss = torch_oracle.cross_forward(np_params, cfg, img, labels)
+    scale = max(1.0, np.abs(want_logits).max())
+    np.testing.assert_allclose(np.asarray(logits), want_logits,
+                               atol=1e-3 * scale, rtol=2e-4)
+    assert float(loss) == pytest.approx(want_loss, rel=1e-4, abs=1e-5)
+
+
+def test_model_vit_heads1_identity_parity():
+    """Same quirk in the baseline's Attention (reference modelv3.py:53-57)."""
+    cfg = small_vit_config(2)
+    cfg.num_heads = 1
+    params = model_vit.init(jax.random.key(5), cfg)
+    for layer in params["layers"]:
+        assert "qkv" in layer["attn"] and "out" not in layer["attn"]
+    img, labels = make_batch(cfg, seed=5)
+
+    logits, loss = jax.jit(
+        lambda p, x, y: model_vit.apply(p, cfg, x, y, train=False)
+    )(params, img, labels)
+
+    np_params = jax.tree.map(np.asarray, params)
+    want_logits, want_loss = torch_oracle.vit_forward(np_params, cfg, img, labels)
+    scale = max(1.0, np.abs(want_logits).max())
+    np.testing.assert_allclose(np.asarray(logits), want_logits,
+                               atol=1e-3 * scale, rtol=2e-4)
+    assert float(loss) == pytest.approx(want_loss, rel=1e-4, abs=1e-5)
+
+
 def test_model_cross_train_mode_runs_and_differs():
     """Dropout must engage in train mode and be deterministic per key."""
     cfg = small_cross_config({"0": "1", "1": "0"}, 2)

@@ -98,6 +98,46 @@ def test_balance_loss_uniform_routing_is_one():
     np.testing.assert_allclose(float(aux["balance_loss"]), 1.0, rtol=1e-6)
 
 
+def test_top2_gates_normalized():
+    """GShard top-2 rule: selected gate probabilities renormalize to sum to 1
+    per token, so with enough capacity every token's combine weights sum to
+    exactly 1 (no ~k/E output-scale shrink as E grows)."""
+    from cross_attention_vit_tpu.parallel.moe import _dispatch_combine
+
+    probs = jax.nn.softmax(
+        jax.random.normal(jax.random.key(0), (32, 8)), axis=-1)
+    _, combine, _ = _dispatch_combine(probs, num_selected=2, capacity=32)
+    per_token = np.asarray(combine.sum(axis=(1, 2)))
+    np.testing.assert_allclose(per_token, 1.0, rtol=1e-6)
+
+    # Switch top-1 rule: raw probability kept (gradient path to the router),
+    # so combine sums equal the top-1 prob, NOT 1.
+    _, combine1, _ = _dispatch_combine(probs, num_selected=1, capacity=32)
+    np.testing.assert_allclose(np.asarray(combine1.sum(axis=(1, 2))),
+                               np.asarray(probs.max(axis=-1)), rtol=1e-6)
+
+
+def test_generic_shard_params_handles_experts_subtree():
+    """parallel/sharding._spec_for recognizes experts/* leaves (stacked 3-D
+    kernels) inside a full model tree: E axis → 'expert', router replicated —
+    the dense fc1/fc2 TP rules must NOT misfire on the 3-D stacked shapes."""
+    from cross_attention_vit_tpu.parallel.sharding import param_specs
+    from jax.sharding import PartitionSpec as P
+
+    moe = init_moe_ffn(jax.random.key(0), HIDDEN, MLP, num_experts=4)
+    tree = {"layers": [{"attn": {"qkv": {"kernel": jnp.zeros((HIDDEN, 3, 2, 8))}},
+                        "ffn": moe}]}
+    specs = param_specs(tree)
+    ffn = specs["layers"][0]["ffn"]
+    assert ffn["experts"]["fc1"]["kernel"] == P("expert", None, None)
+    assert ffn["experts"]["fc2"]["kernel"] == P("expert", None, None)
+    assert ffn["experts"]["fc1"]["bias"] == P("expert", None)
+    assert ffn["experts"]["fc2"]["bias"] == P("expert", None)
+    assert ffn["router"]["kernel"] == P()
+    assert specs["layers"][0]["attn"]["qkv"]["kernel"] == P(
+        None, None, "model", None)
+
+
 def test_grads_finite_through_router():
     """Routing top-k is piecewise-constant but the combine weights carry
     gradient into the router kernel; everything stays finite."""

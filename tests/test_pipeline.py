@@ -157,8 +157,9 @@ def test_model_vit_pipeline_matches_sequential(train):
     params_pp["layers"] = stack_layers(params_seq["layers"])
 
     rng = np.random.default_rng(0)
-    img = (rng.normal(size=(8, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
-    labels = rng.integers(0, 2, size=(8,)).astype(np.int32)
+    # strided microbatch layout: every data shard (4) holds MB (4) rows
+    img = (rng.normal(size=(16, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
+    labels = rng.integers(0, 2, size=(16,)).astype(np.int32)
 
     ref_logits, ref_loss = model_vit.apply(
         params_seq, cfg_seq, img, labels, train=train, rng=jax.random.key(5))
@@ -216,8 +217,9 @@ def test_pipeline_train_step_end_to_end():
     params_pp["layers"] = stack_layers(params_seq["layers"])
 
     rng = np.random.default_rng(3)
-    img = (rng.normal(size=(8, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
-    labels = rng.integers(0, 2, size=(8,)).astype(np.int32)
+    # strided microbatch layout: every data shard (4) holds MB (4) rows
+    img = (rng.normal(size=(16, 2, 1, 16, 16, 8)) * 100).astype(np.float32)
+    labels = rng.integers(0, 2, size=(16,)).astype(np.int32)
     lr = jnp.asarray(1e-3, jnp.float32)
     step_rng = jax.random.key(11)
 

@@ -92,6 +92,85 @@ def test_selection_rules():
     assert any("mlp_head" in k and k.endswith("fc2/kernel") for k in flat2)
 
 
+def test_attn_selection_and_weight_roundtrip():
+    """attn=True rewrites self-attention qkv (H,3,K,D) and out (K,D,H) with
+    per-output-channel scales; cross-attention wq/wk/wv/proj stay float.
+    Grid-valued kernels reconstruct exactly (scale·q == w)."""
+    from cross_attention_vit_tpu.ops.quant import quantize_weight_nd
+
+    cfg = _tiny_cfg()
+    params = model_cross.init(jax.random.key(0), cfg)
+    q = quantize_for_inference(params, min_size=1024, attn=True)
+    flat = {"/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                     for k in path): v
+            for path, v in jax.tree_util.tree_flatten_with_path(q)[0]}
+    assert any("qkv/kernel_q" in k for k in flat)
+    assert any("attn/out/kernel_q" in k for k in flat)
+    assert not any("wq/kernel_q" in k or "proj/kernel_q" in k for k in flat)
+    # default stays FFN-only
+    q0 = quantize_for_inference(params, min_size=1024)
+    flat0 = {"/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                      for k in path)
+             for path, _ in jax.tree_util.tree_flatten_with_path(q0)[0]}
+    assert not any("qkv/kernel_q" in k for k in flat0)
+
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-127, 128, size=(8, 3, 4, 2))
+    ints[0] = 127  # pin each channel's amax so the scale is exactly known
+    scale = rng.uniform(0.5, 2.0, size=(1, 3, 4, 2)).astype(np.float32)
+    w = (ints * scale).astype(np.float32)
+    qq = quantize_weight_nd(w, (0,))
+    assert qq["kernel_q"].dtype == np.int8
+    assert qq["kernel_scale"].shape == (3, 4, 2)
+    np.testing.assert_allclose(
+        qq["kernel_q"].astype(np.float32) * qq["kernel_scale"], w,
+        rtol=1e-5, atol=1e-5)
+
+
+def test_attn_int8_model_drift_and_stability():
+    """Full int8+attn model: logits drift bounded, argmax preserved, and the
+    calibrated static-scale path covers the attention nodes too."""
+    from cross_attention_vit_tpu.models.quantize import calibrate
+
+    cfg = _tiny_cfg()
+    params = model_cross.init(jax.random.key(0), cfg)
+    qparams = quantize_for_inference(params, min_size=1024, attn=True)
+    rng = np.random.default_rng(5)
+    img = (rng.normal(size=(4, 2, 1, *cfg.img_size)) * 800).astype(np.float32)
+    logits = np.asarray(jax.jit(
+        lambda p, x: model_cross.apply(p, cfg, x))(params, img))
+    qlogits = np.asarray(jax.jit(
+        lambda p, x: model_cross.apply(p, cfg, x))(qparams, img))
+    assert np.max(np.abs(qlogits - logits)) < 0.08
+    np.testing.assert_array_equal(qlogits.argmax(1), logits.argmax(1))
+
+    sparams = calibrate(qparams, lambda p, x: model_cross.apply(p, cfg, x), img)
+    leaves = jax.tree_util.tree_flatten_with_path(sparams)[0]
+    qkv_nodes = [tuple(map(str, p[:-1])) for p, _ in leaves
+                 if "kernel_q" in str(p[-1]) and "qkv" in str(p[-2])]
+    scale_nodes = {tuple(map(str, p[:-1])) for p, _ in leaves
+                   if "act_scale" in str(p[-1])}
+    assert qkv_nodes and all(n in scale_nodes for n in qkv_nodes)
+    slogits = np.asarray(jax.jit(
+        lambda p, x: model_cross.apply(p, cfg, x))(sparams, img))
+    assert np.max(np.abs(slogits - logits)) < 0.15
+    np.testing.assert_array_equal(slogits.argmax(1), logits.argmax(1))
+
+
+def test_attn_int8_heads1_identity_quirk():
+    """int8 qkv + the heads==1 no-projection quirk compose."""
+    cfg = _tiny_cfg()
+    cfg.num_heads = 1
+    params = model_cross.init(jax.random.key(1), cfg)
+    qparams = quantize_for_inference(params, min_size=256, attn=True)
+    rng = np.random.default_rng(6)
+    img = (rng.normal(size=(2, 2, 1, *cfg.img_size)) * 800).astype(np.float32)
+    logits = np.asarray(model_cross.apply(params, cfg, img))
+    qlogits = np.asarray(model_cross.apply(qparams, cfg, img))
+    assert np.max(np.abs(qlogits - logits)) < 0.1
+    np.testing.assert_array_equal(qlogits.argmax(1), logits.argmax(1))
+
+
 @pytest.mark.parametrize("module,make_cfg", [
     (model_cross, _tiny_cfg),
 ])

@@ -4,6 +4,7 @@ micro-batching, HTTP surface — all on the CPU backend with a tiny model."""
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -93,6 +94,114 @@ def test_microbatching_coalesces_concurrent_requests(ckpt):
             np.testing.assert_allclose(results[i], want, rtol=1e-5, atol=1e-5)
     finally:
         srv.stop()
+
+
+def test_backpressure_sheds_when_queue_full(ckpt):
+    """Admission is bounded in volumes: requests beyond max_queue_volumes
+    raise Overloaded (HTTP 503) instead of growing the queue, the shed is
+    counted, and draining the queue re-admits."""
+    from cross_attention_vit_tpu.drivers.serve import Overloaded
+
+    path, cfg, _ = ckpt
+    srv = InferenceServer(path, "cross", img_types=("T1c", "T2"),
+                          buckets=(1, 2, 4), max_wait_ms=1.0,
+                          max_queue_volumes=4)
+    # dispatcher NOT started: the queue can only fill
+    try:
+        waiters = []
+
+        def hit(b, seed):
+            try:
+                srv.predict(_vols(cfg, b, seed=seed), timeout=30)
+            except Exception:
+                pass
+
+        for i in range(2):  # 2 × 2 volumes = the whole budget
+            t = threading.Thread(target=hit, args=(2, i), daemon=True)
+            t.start()
+            waiters.append(t)
+        deadline = time.monotonic() + 5
+        while srv._pending_volumes < 4 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert srv._pending_volumes == 4
+
+        with pytest.raises(Overloaded) as ei:
+            srv.predict(_vols(cfg, 1, seed=9))
+        assert ei.value.retry_after_s > 0
+        view = srv.stats_view()
+        assert view["shed_requests"] == 1 and view["shed_volumes"] == 1
+        assert view["pending_volumes"] == 4
+        assert view["queue_limit_volumes"] == 4
+
+        # drain: starting the dispatcher completes the queued work and
+        # re-opens admission
+        srv.start()
+        for t in waiters:
+            t.join(timeout=30)
+        deadline = time.monotonic() + 10
+        while srv._pending_volumes and time.monotonic() < deadline:
+            time.sleep(0.01)
+        out = srv.predict(_vols(cfg, 1, seed=10), timeout=30)
+        assert out.shape == (1, 2)
+        view = srv.stats_view()
+        assert view["pending_volumes"] == 0
+        # the transfer/device split is populated by real steps
+        assert view["device_ms"]["p50"] is not None
+        assert view["transfer_ms"]["p50"] is not None
+    finally:
+        srv.stop()
+
+
+def test_http_503_retry_after_on_overload(ckpt):
+    """The HTTP layer maps Overloaded to 503 + Retry-After."""
+    import urllib.error
+    import urllib.request
+
+    path, cfg, _ = ckpt
+    srv = InferenceServer(path, "cross", img_types=("T1c", "T2"),
+                          buckets=(1, 2), max_wait_ms=1.0,
+                          max_queue_volumes=1)
+    httpd = serve(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # saturate: one in-flight slot, dispatcher stopped after warmup
+        srv._stop.set()
+        srv._dispatcher.join(timeout=5)
+        blocker = threading.Thread(
+            target=lambda: _post_predict_ignore(port, cfg), daemon=True)
+        blocker.start()
+        deadline = time.monotonic() + 5
+        while srv._pending_volumes < 1 and time.monotonic() < deadline:
+            time.sleep(0.01)
+
+        buf = io.BytesIO()
+        np.save(buf, _vols(cfg, 1, seed=3))
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 503
+        assert int(ei.value.headers["Retry-After"]) >= 1
+        body = json.loads(ei.value.read())
+        assert "queue full" in body["error"]
+    finally:
+        httpd.shutdown()
+        srv.stop()
+
+
+def _post_predict_ignore(port, cfg):
+    import urllib.request
+
+    buf = io.BytesIO()
+    np.save(buf, _vols(cfg, 1, seed=2))
+    req = urllib.request.Request(f"http://127.0.0.1:{port}/predict",
+                                 data=buf.getvalue(), method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=5)
+    except Exception:
+        pass
 
 
 def test_shape_validation(ckpt):

@@ -78,7 +78,9 @@ def self_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
     scale = q.shape[-1] ** -0.5
     attn = (q @ k.transpose(-1, -2) * scale).softmax(dim=-1)
     out = rearrange(attn @ v, "b h n d -> b n (h d)")
-    return head_out_t(p["out"], out)
+    # heads==1 → to_out = nn.Identity() (reference model_cross.py:37,45-48);
+    # params then carry no "out"
+    return head_out_t(p["out"], out) if "out" in p else out
 
 
 def cross_attn_t(p: dict, x: torch.Tensor, heads: int) -> torch.Tensor:
