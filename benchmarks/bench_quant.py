@@ -26,6 +26,9 @@ def main():
                     default="vit4",
                     help="vitL6 = the config-6 ViT-Large eval geometry")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--attn", action="store_true",
+                    help="int8+attn mode: also quantize the self-attention "
+                         "qkv/out projections (SDPA stays bf16)")
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
 
@@ -81,7 +84,7 @@ def main():
         (rng.normal(size=(batch, M, 1, *cfg.img_size)) * 800).astype(np.float32))
 
     params = module.init(jax.random.key(0), cfg)
-    qparams = quantize_for_inference(params)
+    qparams = quantize_for_inference(params, attn=args.attn)
     n_q, int8_bytes = count_quantized(qparams)
     qparams = jax.device_put(jax.tree.map(jnp.asarray, qparams))
 
@@ -108,7 +111,7 @@ def main():
     sdt, slogits = run(sparams)
 
     print(json.dumps({
-        "model": args.model, "batch": batch,
+        "model": args.model, "batch": batch, "attn": args.attn,
         "fwd_ms_bf16": round(dt * 1e3, 2),
         "fwd_ms_int8_dynamic": round(qdt * 1e3, 2),
         "fwd_ms_int8_static": round(sdt * 1e3, 2),

@@ -137,6 +137,49 @@ def init(key: jax.Array, config: Config) -> dict:
     return params
 
 
+def stack_stream_params(params: dict, config: Config) -> dict:
+    """Pre-stack the per-stream trunk weights onto a leading modality axis.
+
+    Converts every `multi_blocks[i]["self_blocks"]` (an M×L nested list of
+    per-stream block trees) into `"self_blocks_stacked"` — a length-L list of
+    trees whose leaves carry a leading (M, ...) axis.  The stacked-stream
+    apply path (`config.stacked_streams`) then consumes the leaves directly,
+    eliminating the per-step `jnp.stack` of ~600 MB of trunk params that made
+    apply-time stacking a measured negative (docs/PERF_r03.md).  Done once,
+    outside the step — the optimizer updates the stacked leaves in place
+    (Adam is elementwise, so training dynamics are unchanged).
+
+    Round-trips exactly with `unstack_stream_params` (checkpoints should be
+    saved unstacked for interop with evaluate/serve/convert)."""
+    M = config.num_modalities
+    out = dict(params)
+    out["multi_blocks"] = []
+    for blk in params["multi_blocks"]:
+        sb = blk["self_blocks"]
+        stacked = [
+            jax.tree.map(lambda *ls: jnp.stack(ls),
+                         *[sb[m][layer] for m in range(M)])
+            for layer in range(len(sb[0]))
+        ]
+        out["multi_blocks"].append(
+            {"self_blocks_stacked": stacked, "cross_blocks": blk["cross_blocks"]})
+    return out
+
+
+def unstack_stream_params(params: dict, config: Config) -> dict:
+    """Inverse of `stack_stream_params`: back to the per-stream M×L layout."""
+    M = config.num_modalities
+    out = dict(params)
+    out["multi_blocks"] = []
+    for blk in params["multi_blocks"]:
+        st = blk["self_blocks_stacked"]
+        sb = [[jax.tree.map(lambda l, m=m: l[m], layer) for layer in st]
+              for m in range(M)]
+        out["multi_blocks"].append(
+            {"self_blocks": sb, "cross_blocks": blk["cross_blocks"]})
+    return out
+
+
 # ---------------------------------------------------------------------------
 # apply
 # ---------------------------------------------------------------------------
@@ -265,7 +308,9 @@ def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
     """Per-stream self-attention stacks then attn_order-routed CLS fusion
     (reference model_cross.py:128-148)."""
     remat = bool(config.get("remat", False))
-    stacked = bool(config.get("stacked_streams", False)) and len(streams) > 1
+    prestacked = "self_blocks_stacked" in p  # stack_stream_params tree layout
+    stacked = prestacked or (
+        bool(config.get("stacked_streams", False)) and len(streams) > 1)
 
     if stacked:
         def blk_fn_s(blk_params, x, key):
@@ -278,11 +323,15 @@ def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
             blk_fn_s = remat_wrap(blk_fn_s, config)
 
         xs = jnp.stack(streams)                      # (M, B, N, H)
-        n_layers = len(p["self_blocks"][0])
-        for layer in range(n_layers):
-            blk = jax.tree.map(
-                lambda *leaves: jnp.stack(leaves),
-                *[p["self_blocks"][m][layer] for m in range(len(streams))])
+        if prestacked:
+            layers_s = p["self_blocks_stacked"]      # no per-step stack cost
+        else:
+            layers_s = [
+                jax.tree.map(
+                    lambda *leaves: jnp.stack(leaves),
+                    *[p["self_blocks"][m][layer] for m in range(len(streams))])
+                for layer in range(len(p["self_blocks"][0]))]
+        for blk in layers_s:
             xs = blk_fn_s(blk, xs, rng() if train else jax.random.key(0))
         attn = [xs[m] for m in range(len(streams))]
     else:
@@ -336,7 +385,9 @@ def apply(params: dict, config: Config, img: jax.Array,
     # mesh axis); only the per-stream SELF attention rides the ring — the
     # CLS-query cross attention is a 1×N sliver (GSPMD gathers its keys)
     impl = attention_impl(config)
-    if impl == "ring" and config.get("stacked_streams", False):
+    if impl == "ring" and (config.get("stacked_streams", False) or
+                           any("self_blocks_stacked" in b
+                               for b in params["multi_blocks"])):
         raise ValueError("seq_parallel does not compose with stacked_streams")
     rngs = RngStream(rng)
     B = img.shape[0]

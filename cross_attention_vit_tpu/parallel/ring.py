@@ -60,7 +60,8 @@ def active_seq_mesh() -> Mesh | None:
 
 def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                    scale: float, axis_name: str, axis_size: int,
-                   n_valid: int | None = None) -> jax.Array:
+                   n_valid: int | None = None,
+                   force_ring: bool = False) -> jax.Array:
     """Per-shard body: call inside `shard_map` over `axis_name`.
 
     q, k, v: (B, K, N/P, D) local sequence shards (P = axis_size).  Returns
@@ -75,8 +76,12 @@ def ring_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     padded contribution out of the accumulator (every query row sees real
     keys — n_valid ≥ 1 — so the transient never survives to the output).
     Padded QUERY rows compute garbage; the caller slices them off.
+
+    force_ring=True runs the scan body even at axis_size 1 (the ppermute is
+    then an identity hop) — lets the on-chip lane (tests_tpu) exercise the
+    ring's online-softmax math on a single real device.
     """
-    if axis_size == 1:
+    if axis_size == 1 and not force_ring:
         from ..ops.attention import _sdpa
         return _sdpa(q, k, v, scale)
     f32 = jnp.float32

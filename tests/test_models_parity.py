@@ -283,6 +283,62 @@ def test_stacked_streams_train_dropout_runs():
     assert np.isfinite(float(loss1))
 
 
+def test_stacked_init_params_bit_identical():
+    """stack_stream_params (init-time pre-stacking) is bit-identical to the
+    apply-time stacked path — same math, the per-step jnp.stack removed — and
+    round-trips exactly through unstack_stream_params."""
+    cfg = small_cross_config({"0": "1", "1": "2", "2": "0"}, 3)
+    modify_config(cfg, {"stacked_streams": True})
+    params = model_cross.init(jax.random.key(3), cfg)
+    img, labels = make_batch(cfg)
+
+    ps = model_cross.stack_stream_params(params, cfg)
+    back = model_cross.unstack_stream_params(ps, cfg)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    l0, loss0 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
+        params, img, labels)
+    l1, loss1 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
+        ps, img, labels)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    assert float(loss0) == float(loss1)
+
+    # train mode with dropout engaged: identical mask draws (one per layer,
+    # same as apply-time stacking), identical loss to the bit
+    key = jax.random.key(7)
+    lt0 = float(model_cross.apply(params, cfg, img, labels, train=True,
+                                  rng=key)[1])
+    lt1 = float(model_cross.apply(ps, cfg, img, labels, train=True,
+                                  rng=key)[1])
+    assert lt0 == lt1
+
+    # gradients land on the stacked tree (what the optimizer updates)
+    g = jax.grad(lambda p: model_cross.apply(p, cfg, img, labels, train=True,
+                                             rng=key)[1])(ps)
+    assert jax.tree.structure(g) == jax.tree.structure(ps)
+
+
+def test_stacked_init_rejects_ring():
+    """Pre-stacked trees hit the same seq_parallel composition guard that
+    config.stacked_streams does (attention_impl returns 'ring' only when a
+    seq mesh is live)."""
+    from cross_attention_vit_tpu.parallel import make_mesh, set_seq_mesh
+
+    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
+    params = model_cross.init(jax.random.key(0), cfg)
+    ps = model_cross.stack_stream_params(params, cfg)
+    cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
+    modify_config(cfg_r, {"seq_parallel": 2})
+    img, labels = make_batch(cfg)
+    set_seq_mesh(make_mesh(4, seq=2))
+    try:
+        with pytest.raises(ValueError, match="stacked_streams"):
+            model_cross.apply(ps, cfg_r, img, labels)
+    finally:
+        set_seq_mesh(None)
+
+
 def test_stacked_streams_remat_matches():
     """stacked_streams composes with jax.checkpoint selective remat."""
     cfg = small_cross_config({"0": "1", "1": "0"}, 2)
