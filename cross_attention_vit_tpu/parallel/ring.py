@@ -21,8 +21,15 @@ backward is itself a ring program, derived by AD rather than hand-scheduled.
 
 Numerics match ops/attention._sdpa: scores and softmax statistics accumulate
 in float32 regardless of input dtype; the p·v matmul accumulates f32 via
-preferred_element_type.  Exactness (vs the dense reference) is ulp-level,
-not approximate — tested in tests/test_ring.py on an 8-virtual-device mesh.
+preferred_element_type.  The MATH is exact (same online-softmax recurrence
+as the dense reference) — ulp-level on CPU (tests/test_ring.py, 8 virtual
+devices) and at HIGHEST matmul precision on TPU.  At TPU-DEFAULT matmul
+precision both this path and _sdpa round MXU inputs to bf16 mantissas, and
+the ring's padded key blocks tile/round differently from the dense dot, so
+the two drift by up to ~2e-3 on v5e while both staying within first-order
+bf16 rounding of the exact answer (tests_tpu/test_fallbacks_onchip.py
+derives and pins that bound).  Precision is left at default deliberately:
+the score/p·v GEMMs are the entire SP FLOP budget.
 
 Model integration (`config.seq_parallel = P`): ops/attention.self_attention
 dispatches its SDPA through `sharded_ring_sdpa` when the ambient seq mesh

@@ -82,6 +82,32 @@ def main():
     host_params = jax.device_get(gathered)
     psum = float(sum(np.abs(x).sum() for x in jax.tree.leaves(host_params)))
 
+    # TP+FSDP across the process boundary (r4 verdict item 5): ZeRO shards
+    # every large param (and, via inheritance, its Adam moments) over 'data'
+    # ON TOP of the TP 'model' split, so the step's all-gathers and
+    # reduce-scatters cross the jax.distributed boundary.  Same global
+    # batches as the DP+TP phase → bit-comparable across processes and vs
+    # the single-process run.
+    params_f = shard_params(model_cross.init(jax.random.key(0), cfg), mesh,
+                            fsdp=True)
+    opt_f = optim.init(params_f)
+    acc_f = MetricAccumulator()
+    rng_f = np.random.default_rng(0)
+    for s in range(STEPS):
+        g_img = rng_f.normal(size=(GLOBAL_BATCH, 3, 1, *cfg.img_size)).astype(np.float32)
+        g_lab = rng_f.integers(0, 2, size=(GLOBAL_BATCH,)).astype(np.int32)
+        lo = pid * LOCAL_BATCH
+        img = _put(g_img[lo:lo + LOCAL_BATCH], img_sharding)
+        lab = _put(g_lab[lo:lo + LOCAL_BATCH], _label_sharding(img_sharding))
+        params_f, opt_f, aux = step(params_f, opt_f, img, lab,
+                                    jnp.asarray(1e-3, jnp.float32),
+                                    jax.random.fold_in(jax.random.key(1), s))
+        acc_f.update(aux["loss"], aux["counts"], aux["probs"], aux["labels"])
+    fsdp_metrics = acc_f.result()
+    gathered_f = jax.jit(lambda p: p, out_shardings=replicated(mesh))(params_f)
+    fsdp_psum = float(sum(np.abs(x).sum()
+                          for x in jax.tree.leaves(jax.device_get(gathered_f))))
+
     # ring attention across the PROCESS boundary: tokens shard over a 'seq'
     # axis spanning both hosts, so every ppermute hop in the ring crosses
     # processes at least once — checked against the dense single-host math
@@ -92,6 +118,8 @@ def main():
         "sampler_draw": sampler_draw.tolist(),
         "metrics": {k: round(float(v), 6) for k, v in metrics.items()},
         "param_abs_sum": round(psum, 4),
+        "fsdp_metrics": {k: round(float(v), 6) for k, v in fsdp_metrics.items()},
+        "fsdp_param_abs_sum": round(fsdp_psum, 4),
         "ring_err": ring_err,
     }))
 

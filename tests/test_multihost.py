@@ -49,8 +49,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _single_process_reference():
-    """Same global batches on a single-process (2,2) mesh."""
+def _single_process_reference(fsdp: bool = False):
+    """Same global batches on a single-process (2,2) mesh; fsdp=True runs
+    the TP+FSDP (ZeRO param+moment sharding over 'data') variant."""
     import jax
     import jax.numpy as jnp
 
@@ -63,7 +64,8 @@ def _single_process_reference():
 
     cfg = tiny_config()
     mesh = make_mesh(2, 2, devices=jax.devices()[:4])
-    params = shard_params(model_cross.init(jax.random.key(0), cfg), mesh)
+    params = shard_params(model_cross.init(jax.random.key(0), cfg), mesh,
+                          fsdp=fsdp)
     opt_state = optim.init(params)
     step = make_train_step(model_cross.apply, cfg, mesh=mesh)
 
@@ -116,7 +118,18 @@ def test_two_process_distributed_training():
     # dense attention (sequence parallelism over a real process boundary)
     assert r0["ring_err"] < 1e-6 and r1["ring_err"] < 1e-6, (r0, r1)
 
+    # TP+FSDP across the process boundary (r4 verdict item 5): both hosts
+    # agree bit-for-bit after 2 ZeRO-sharded train steps
+    assert r0["fsdp_metrics"] == r1["fsdp_metrics"], (r0, r1)
+    assert r0["fsdp_param_abs_sum"] == r1["fsdp_param_abs_sum"]
+
     # 2-process run ≡ single-process run of the same global batches
     ref_metrics, ref_psum = _single_process_reference()
     assert r0["metrics"] == ref_metrics, (r0["metrics"], ref_metrics)
     assert r0["param_abs_sum"] == ref_psum
+
+    # ... and the TP+FSDP variant matches its single-process twin too
+    ref_metrics_f, ref_psum_f = _single_process_reference(fsdp=True)
+    assert r0["fsdp_metrics"] == ref_metrics_f, (r0["fsdp_metrics"],
+                                                 ref_metrics_f)
+    assert r0["fsdp_param_abs_sum"] == ref_psum_f

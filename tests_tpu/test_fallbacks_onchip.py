@@ -36,9 +36,13 @@ def test_pipeline_serial_fallback_bit_identical_onchip():
     from cross_attention_vit_tpu.models import model_vit
     from cross_attention_vit_tpu.parallel.pipeline import stack_layers
 
+    # No sequential-with-dropout reference here on purpose: the fallback's
+    # bit-identity contract is vs the SPMD pipeline schedule (same
+    # per-(layer, microbatch) key derivation — tests/test_pipeline.py
+    # test_pipeline_dropout_mesh_matches_fallback), NOT vs the plain
+    # sequential trunk, whose dropout keys are derived per-layer only.
     cfg_seq = _vit_cfg()
     cfg_pp = _vit_cfg(pipeline_stages=2, pipeline_microbatches=2, dropout=0.2)
-    cfg_seq_d = _vit_cfg(dropout=0.2)
     params_seq = model_vit.init(jax.random.key(0), cfg_seq)
     params_pp = dict(params_seq)
     params_pp["layers"] = stack_layers(params_seq["layers"])
@@ -67,16 +71,30 @@ def test_pipeline_serial_fallback_bit_identical_onchip():
 
 def test_ring_axis1_matches_sdpa_onchip():
     """The ring attention path at axis_size 1 == plain _sdpa on the REAL
-    chip: (a) the sharded_ring_sdpa single-device fallback, and (b) the
-    actual ring scan body (online softmax + identity ppermute + n_valid
-    masking) forced via force_ring inside a 1-device shard_map.
+    chip: (a) the sharded_ring_sdpa single-device fallback (literally
+    dispatches to _sdpa — bit-identical), (b) the actual ring scan body
+    (online softmax + identity ppermute + n_valid masking) forced via
+    force_ring inside a 1-device shard_map, compared at HIGHEST matmul
+    precision, and (c) a default-precision drift bound vs exact f64 math.
+
+    Why (b) needs the precision pin (round-4 red-lane root cause): at
+    TPU-default matmul precision both paths run bf16-mantissa MXU passes,
+    and the ring's zero-padded 99-key block tiles/rounds differently from
+    the dense 96-key dot — measured max |Δ| 2.0e-3 ring-vs-_sdpa on v5e
+    (r4 verdict), which is NOT a math bug: at HIGHEST precision the two
+    agree to 1e-5.  The model's SP path keeps default precision (the
+    score/p·v GEMMs are the entire SP FLOP budget; HIGHEST is ~6 passes),
+    so (c) pins the honest numeric contract for what ships: both paths
+    within first-order bf16 rounding (2^-9 relative on MXU inputs, ~1e-2
+    after exp amplification at |v|≈3) of the exact answer.
     CPU claim being re-pinned: tests/test_ring.py."""
     import functools
 
     from jax.sharding import Mesh, PartitionSpec as P
 
     from cross_attention_vit_tpu.ops.attention import _sdpa
-    from cross_attention_vit_tpu.parallel.ring import (ring_attention,
+    from cross_attention_vit_tpu.parallel.ring import (_shard_map_partial,
+                                                       ring_attention,
                                                        sharded_ring_sdpa)
 
     rng = np.random.default_rng(3)
@@ -84,25 +102,41 @@ def test_ring_axis1_matches_sdpa_onchip():
     q, k, v = (jnp.asarray(rng.normal(size=(B, K, N, D)), jnp.float32)
                for _ in range(3))
     scale = D ** -0.5
-    ref = np.asarray(jax.jit(lambda a, b, c: _sdpa(a, b, c, scale))(q, k, v))
 
+    # (a) fallback dispatch: bit-identical to _sdpa at ambient precision
+    ref = np.asarray(jax.jit(lambda a, b, c: _sdpa(a, b, c, scale))(q, k, v))
     mesh = Mesh(np.array(jax.devices()[:1]).reshape(1), ("seq",))
     got = np.asarray(jax.jit(
         lambda a, b, c: sharded_ring_sdpa(a, b, c, scale, mesh=mesh))(q, k, v))
-    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(got, ref)
 
-    # the real ring body on chip: pad 3 key rows, mask them via n_valid
+    # (b) the real ring body on chip: pad 3 key rows, mask them via n_valid;
+    # HIGHEST precision isolates the math from MXU pass-count artifacts
     pad = 3
     qp, kp, vp = (jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
                   for x in (q, k, v))
     spec = P(None, None, "seq", None)
-    from cross_attention_vit_tpu.parallel.ring import _shard_map_partial
-
     body = functools.partial(ring_attention, scale=scale, axis_name="seq",
                              axis_size=1, n_valid=N, force_ring=True)
     wrapped = _shard_map_partial(mesh, "seq")(body, (spec, spec, spec), spec)
-    ring_out = np.asarray(jax.jit(wrapped)(qp, kp, vp))[:, :, :N]
-    np.testing.assert_allclose(ring_out, ref, atol=1e-5, rtol=1e-5)
+    with jax.default_matmul_precision("highest"):
+        ref_hi = np.asarray(jax.jit(
+            lambda a, b, c: _sdpa(a, b, c, scale))(q, k, v))
+        ring_hi = np.asarray(jax.jit(wrapped)(qp, kp, vp))[:, :, :N]
+    np.testing.assert_allclose(ring_hi, ref_hi, atol=1e-5, rtol=1e-5)
+
+    # (c) default precision: honest drift bound vs exact float64 host math.
+    # Score error ≈ 2^-9·|q||k|·√D·scale ≈ 4e-3; exp amplification and the
+    # p·v bf16 pass give |out − exact| ≲ 1e-2·max|v|.  r4 measured 2.0e-3
+    # between the paths; 1e-2 is the first-order bound, not a fitted number.
+    q64, k64, v64 = (np.asarray(x, np.float64) for x in (q, k, v))
+    s64 = np.einsum("bhqd,bhkd->bhqk", q64, k64) * scale
+    p64 = np.exp(s64 - s64.max(-1, keepdims=True))
+    exact = np.einsum("bhqk,bhkd->bhqd", p64 / p64.sum(-1, keepdims=True), v64)
+    ring_def = np.asarray(jax.jit(wrapped)(qp, kp, vp))[:, :, :N]
+    tol = 1e-2 * float(np.abs(v64).max())
+    assert np.abs(ref - exact).max() < tol, np.abs(ref - exact).max()
+    assert np.abs(ring_def - exact).max() < tol, np.abs(ring_def - exact).max()
 
 
 def test_knob_composition_vs_f64_oracle_onchip():
