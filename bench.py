@@ -256,12 +256,36 @@ def bench_device(cfg, df) -> dict:
     sync(aux["loss"])
     train_s = (time.perf_counter() - t0) / reps
 
+    # --- trunk-only train step (augmentation off) -----------------------------
+    # Decomposed MFU (r4 verdict item 3): device augmentation carries no
+    # model FLOPs, so its ~25% step share IS the headline-vs-trunk MFU gap.
+    # Reporting both makes the decomposition a first-class bench output.
+    import copy
+
+    cfg_na = copy.deepcopy(cfg)
+    cfg_na.img_aug = False
+    step_na = make_train_step(model_cross.apply, cfg_na)
+    params_n, opt_n = params, optim.init(params)
+    params_n, opt_n, aux = step_na(params_n, opt_n, imgs8, labels8, lr,
+                                   jax.random.key(1))  # compile
+    sync(aux["loss"])
+    reps = 10
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params_n, opt_n, aux = step_na(params_n, opt_n, imgs8, labels8, lr,
+                                       jax.random.fold_in(jax.random.key(1), i))
+    sync(aux["loss"])
+    trunk_s = (time.perf_counter() - t0) / reps
+
     fwd_flops = F.model_cross_fwd_flops(cfg, 8)
     return {
         "device_fwd_ms": round(fwd_s * 1000, 2),
         "train_step_ms": round(train_s * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops), train_s), 4),
         "mfu_fwd": round(F.mfu(fwd_flops, fwd_s), 4),
+        "trunk_step_ms": round(trunk_s * 1000, 2),
+        "mfu_trunk": round(F.mfu(F.train_flops(fwd_flops), trunk_s), 4),
+        "aug_ms": round((train_s - trunk_s) * 1000, 2),
         "device_kind": jax.devices()[0].device_kind,
         "model_tflops_fwd_b8": round(fwd_flops / 1e12, 2),
     }

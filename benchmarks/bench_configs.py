@@ -21,7 +21,7 @@ configs"); bench.py at the repo root remains the headline e2e number
 
 Backends differ per config, and a JAX backend initializes once per process —
 `--all` therefore spawns one subprocess per config and appends each line to
-BENCH_CONFIGS_r03.json in the repo root.
+BENCH_CONFIGS_<--round>.json in the repo root (default r05).
 
 Usage: python benchmarks/bench_configs.py --all
        python benchmarks/bench_configs.py --config 4
@@ -39,7 +39,7 @@ sys.path.insert(0, str(ROOT))
 
 UCSF = "/root/reference/ucsf-data"
 LABELS = "/root/reference/labels.csv"
-OUT = ROOT / "BENCH_CONFIGS_r03.json"
+DEFAULT_ROUND = "r05"  # bump per round, or pass --round (VERDICT r4 weak #7)
 
 
 def _force_cpu(n_devices: int = 1) -> None:
@@ -374,6 +374,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--round", default=DEFAULT_ROUND,
+                    help="suffix of the output file BENCH_CONFIGS_<round>.json")
     args = ap.parse_args()
 
     if args.all:
@@ -389,7 +391,8 @@ def main():
             else:
                 results.append(json.loads(r.stdout.strip().splitlines()[-1]))
             print(json.dumps(results[-1]))
-        OUT.write_text(json.dumps(results, indent=1))
+        (ROOT / f"BENCH_CONFIGS_{args.round}.json").write_text(
+            json.dumps(results, indent=1))
         return
 
     from cross_attention_vit_tpu.utils import enable_compilation_cache

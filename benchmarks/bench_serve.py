@@ -64,6 +64,11 @@ def main():
                    help="queue bound (volumes) for the overload phase "
                         "(32 clients against it shows bounded p99 + sheds)")
     p.add_argument("--jit-cache", default=None)
+    p.add_argument("--quantize", default=None,
+                   choices=["int8", "int8+attn"],
+                   help="serve with w8a8 FFN (int8) or FFN+attention "
+                        "projections (int8+attn); see docs/PERF_r05.md for "
+                        "the measured selection guidance")
     args = p.parse_args()
 
     from cross_attention_vit_tpu.drivers.serve import InferenceServer, serve
@@ -75,7 +80,8 @@ def main():
 
     srv = InferenceServer(args.checkpoint, args.model,
                           img_types=tuple(args.img_types),
-                          buckets=(1, 2, 4, 8), max_wait_ms=5.0)
+                          buckets=(1, 2, 4, 8), max_wait_ms=5.0,
+                          quantize=args.quantize)
     t0 = time.monotonic()
     httpd = serve(srv, host="127.0.0.1", port=0)
     warmup_s = time.monotonic() - t0
@@ -168,6 +174,8 @@ def main():
         "transfer_ms_p50": stats["transfer_ms"]["p50"],
         "warmup_s": round(warmup_s, 1),
         "params_m": round(srv.n_params / 1e6, 1),
+        "quantize": args.quantize,
+        "quantized_kernels": srv.quantized_kernels,
     }))
 
 

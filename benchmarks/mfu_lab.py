@@ -61,13 +61,6 @@ def main():
     ap.add_argument("--gelu", choices=["exact", "tanh"], default="exact",
                     help="ops.layers.GELU_APPROX: tanh approximation "
                          "(torch nn.GELU(approximate='tanh') formula)")
-    ap.add_argument("--stacked", action="store_true",
-                    help="config.stacked_streams: batch the per-modality "
-                         "trunk into (M*B)-batch ops (ModelCross only)")
-    ap.add_argument("--stacked-init", action="store_true",
-                    help="pre-stack the trunk params at init "
-                         "(model_cross.stack_stream_params) so the stacked "
-                         "path pays zero per-step jnp.stack cost")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -125,8 +118,6 @@ def main():
         cfg.remat = False
     if args.dropout is not None:
         cfg.dropout = args.dropout
-    if args.stacked or args.stacked_init:
-        cfg.stacked_streams = True
 
     rng = np.random.default_rng(0)
     imgs = (rng.normal(size=(batch, M, 1, *cfg.img_size)) * 800).astype(np.float32)
@@ -134,8 +125,6 @@ def main():
     imgs, labels = jax.device_put(imgs), jax.device_put(labels)
 
     params = module.init(jax.random.key(0), cfg)
-    if args.stacked_init:
-        params = model_cross.stack_stream_params(params, cfg)
     opt_state = optim.init(params)
     step = make_train_step(module.apply, cfg)
     lr = jnp.asarray(1e-4, jnp.float32)
@@ -157,9 +146,8 @@ def main():
         "variant": {"model": args.model, "tie": args.tie,
                     "remat_policy": args.remat_policy, "act": args.act,
                     "mask_bits": args.mask_bits, "aug_dtype": args.aug_dtype,
-                    "gelu": args.gelu, "dropout": cfg.dropout, "aug": args.aug,
-                    "stacked": ("init" if args.stacked_init else
-                                bool(args.stacked))},
+                    "gelu": args.gelu, "dropout": cfg.dropout,
+                    "aug": args.aug},
         "train_step_ms": round(dt * 1000, 2),
         "mfu": round(F.mfu(F.train_flops(fwd_flops_fn()), dt), 4),
         "volumes_per_sec": round(batch / dt, 2),

@@ -28,3 +28,9 @@ run benchmarks/bench_quant.py --model cross8 --attn
 run benchmarks/bench_quant.py --model vitL6
 run benchmarks/bench_quant.py --model vitL6 --attn
 echo DONE >> "$OUT"
+
+# NOTE: the two --stacked-init runs above were executed BEFORE the
+# stacked-streams feature was removed (same round, after the negative
+# receipt was recorded in docs/PERF_r05.md); mfu_lab no longer accepts
+# the flag, so re-running this script verbatim will skip those two runs
+# with an argparse error in the .err log.

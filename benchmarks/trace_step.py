@@ -22,8 +22,6 @@ def main():
     ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--gelu", choices=["exact", "tanh"], default="exact")
-    ap.add_argument("--stacked", action="store_true",
-                    help="config.stacked_streams (cross8 only)")
     ap.add_argument("--steps", type=int, default=3)
     args = ap.parse_args()
 
@@ -59,8 +57,6 @@ def main():
         modify_config(cfg, dict(dropout=args.dropout, num_modalities=3))
         model, B, M = model_cross, 8, 3
     cfg.remat = args.remat
-    if args.stacked:
-        cfg.stacked_streams = True
     cfg.remat_policy = "save_attn_masks_ffn_qkv"
     cfg.compute_dtype = "bfloat16"
     cfg.use_flash_attention = True

@@ -252,8 +252,9 @@ def main(argv=None):
                         "parallel/ring.py)")
     p.add_argument("--ep", type=int, default=1,
                    help="expert-parallel mesh axis (pair with "
-                        "--set moe_experts=E on ModelVIT runs; must divide "
-                        "E; parallel/moe.py)")
+                        "--set moe_experts=E — trunk FFNs become GShard "
+                        "MoEs on both models; must divide E; "
+                        "parallel/moe.py)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + Adam moments over the 'data' axis "
                         "(ZeRO/FSDP; see parallel/sharding.py)")

@@ -26,12 +26,26 @@ import jax.numpy as jnp
 
 from ..configs import Config
 from ..ops import initializers as init_ops
-from ..ops.attention import (_sdpa, attention_impl, cross_attention_cls,
+from ..ops.attention import (attention_impl, cross_attention_cls,
                              self_attention)
-from ..ops.layers import (RngStream, dropout, feed_forward, gelu, layernorm,
+from ..ops.layers import (RngStream, dropout, feed_forward, layernorm,
                           linear, mlp_head, promote_input)
 from ..ops.losses import cross_entropy
 from ..ops.patchify import num_patches, patchify_3d
+
+
+def _reject_removed_stacked_streams(config: Config) -> None:
+    """`config.stacked_streams` was REMOVED in round 5: (M·B)-batched trunk
+    ops with stacked per-stream weights measured slower than the plain
+    per-stream loop twice on v5e (apply-time stacking +7 ms, docs/PERF_r03.md;
+    init-time pre-stacked params +4.2 ms, docs/PERF_r05.md).  Reject instead
+    of silently ignoring so configs saved by round-3/4 checkpoints fail
+    loudly."""
+    if config.get("stacked_streams", False):
+        raise ValueError(
+            "config.stacked_streams was removed (measured negative twice on "
+            "v5e; see docs/PERF_r05.md) — drop the flag: the per-stream "
+            "trunk loop IS the fast path")
 
 
 def _attn_pairs(config: Config) -> list[tuple[int, int]]:
@@ -54,7 +68,8 @@ def _attn_pairs(config: Config) -> list[tuple[int, int]]:
 # init
 # ---------------------------------------------------------------------------
 
-def _self_block_params(kg, H: int, mlp: int, heads: int) -> dict:
+def _self_block_params(kg, H: int, mlp: int, heads: int,
+                       moe_experts: int = 0) -> dict:
     # heads==1 quirk: `to_out = nn.Identity()` when num_heads == 1 and
     # dim_head == hidden_dim (reference model_cross.py:37,45-48) — dim_head
     # is H // heads, so heads==1 always triggers it; the "out" params are
@@ -63,14 +78,27 @@ def _self_block_params(kg, H: int, mlp: int, heads: int) -> dict:
     attn = {"qkv": init_ops.fused_qkv_params(kg(), H, heads)}
     if project_out:
         attn["out"] = init_ops.head_out_params(kg(), H, heads)
+    if moe_experts > 1:
+        # MoE stream-trunk layer (config.moe_experts, same convention as
+        # model_vit): the ffn subtree becomes router + stacked experts
+        # (parallel/moe.py init_moe_ffn); apply detects the "experts" key and
+        # parallel/sharding's experts/* rule shards the stacked kernels over
+        # the mesh 'expert' axis.  Each STREAM keeps its own experts+router —
+        # consistent with the reference's per-modality FFN weights
+        # (model_cross.py:19-31, 122).
+        from ..parallel.moe import init_moe_ffn
+
+        ffn = init_moe_ffn(kg(), H, mlp, moe_experts)
+    else:
+        ffn = {
+            "fc1": init_ops.linear_params(kg(), H, mlp),
+            "fc2": init_ops.linear_params(kg(), mlp, H),
+        }
     return {
         "attn_norm": init_ops.layernorm_params(H),
         "attn": attn,
         "ffn_norm": init_ops.layernorm_params(H),
-        "ffn": {
-            "fc1": init_ops.linear_params(kg(), H, mlp),
-            "fc2": init_ops.linear_params(kg(), mlp, H),
-        },
+        "ffn": ffn,
     }
 
 
@@ -106,6 +134,20 @@ def init(key: jax.Array, config: Config) -> dict:
     p1, p2, p3 = config.patch_size
     patch_dim = p1 * p2 * p3 * config.in_channels
 
+    from .model_vit import _moe_fields
+
+    _reject_removed_stacked_streams(config)
+    moe_experts, moe_every = _moe_fields(config)
+
+    def _site_experts(mb: int, layer: int) -> int:
+        # per-stream depth index mb·num_self_blocks + layer, converted every
+        # moe_every-th layer (model_vit convention); cross-block FFNs stay
+        # dense — they see one CLS token per step, so GShard routing would
+        # dispatch a single token per batch row (all capacity, no sparsity).
+        idx = mb * config.num_self_blocks + layer
+        on = moe_experts > 1 and idx % moe_every == moe_every - 1
+        return moe_experts if on else 0
+
     kg = init_ops.KeyGen(key)
     params = {
         "pos_embedding": init_ops.trunc_or_normal_02(kg(), (1, N + 1, H)),
@@ -114,8 +156,9 @@ def init(key: jax.Array, config: Config) -> dict:
         "multi_blocks": [
             {
                 "self_blocks": [
-                    [_self_block_params(kg, H, mlp, config.num_heads)
-                     for _ in range(config.num_self_blocks)]
+                    [_self_block_params(kg, H, mlp, config.num_heads,
+                                        moe_experts=_site_experts(mb, layer))
+                     for layer in range(config.num_self_blocks)]
                     for _ in range(M)
                 ],
                 "cross_blocks": [
@@ -123,7 +166,7 @@ def init(key: jax.Array, config: Config) -> dict:
                     for _ in _attn_pairs(config)
                 ],
             }
-            for _ in range(config.num_multi_blocks)
+            for mb in range(config.num_multi_blocks)
         ],
         "norm": [init_ops.layernorm_params(H) for _ in range(M)],
         "mlp_head": [
@@ -137,62 +180,34 @@ def init(key: jax.Array, config: Config) -> dict:
     return params
 
 
-def stack_stream_params(params: dict, config: Config) -> dict:
-    """Pre-stack the per-stream trunk weights onto a leading modality axis.
-
-    Converts every `multi_blocks[i]["self_blocks"]` (an M×L nested list of
-    per-stream block trees) into `"self_blocks_stacked"` — a length-L list of
-    trees whose leaves carry a leading (M, ...) axis.  The stacked-stream
-    apply path (`config.stacked_streams`) then consumes the leaves directly,
-    eliminating the per-step `jnp.stack` of ~600 MB of trunk params that made
-    apply-time stacking a measured negative (docs/PERF_r03.md).  Done once,
-    outside the step — the optimizer updates the stacked leaves in place
-    (Adam is elementwise, so training dynamics are unchanged).
-
-    Round-trips exactly with `unstack_stream_params` (checkpoints should be
-    saved unstacked for interop with evaluate/serve/convert)."""
-    M = config.num_modalities
-    out = dict(params)
-    out["multi_blocks"] = []
-    for blk in params["multi_blocks"]:
-        sb = blk["self_blocks"]
-        stacked = [
-            jax.tree.map(lambda *ls: jnp.stack(ls),
-                         *[sb[m][layer] for m in range(M)])
-            for layer in range(len(sb[0]))
-        ]
-        out["multi_blocks"].append(
-            {"self_blocks_stacked": stacked, "cross_blocks": blk["cross_blocks"]})
-    return out
-
-
-def unstack_stream_params(params: dict, config: Config) -> dict:
-    """Inverse of `stack_stream_params`: back to the per-stream M×L layout."""
-    M = config.num_modalities
-    out = dict(params)
-    out["multi_blocks"] = []
-    for blk in params["multi_blocks"]:
-        st = blk["self_blocks_stacked"]
-        sb = [[jax.tree.map(lambda l, m=m: l[m], layer) for layer in st]
-              for m in range(M)]
-        out["multi_blocks"].append(
-            {"self_blocks": sb, "cross_blocks": blk["cross_blocks"]})
-    return out
-
-
 # ---------------------------------------------------------------------------
 # apply
 # ---------------------------------------------------------------------------
 
 def _self_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
-                train: bool, cdt, impl: str) -> jax.Array:
-    """Pre-norm self-attention block (reference model_cross.py:64-72)."""
+                train: bool, cdt, impl: str) -> tuple[jax.Array, jax.Array]:
+    """Pre-norm self-attention block (reference model_cross.py:64-72).
+
+    Returns (x, balance_loss) — balance is the Switch/GShard auxiliary term
+    when the FFN site is MoE (config.moe_experts, same detection convention
+    as model_vit.apply), else a zero scalar."""
     x = self_attention(p["attn"], layernorm(p["attn_norm"], x),
                        config.num_heads, config.dropout, rng, train,
                        compute_dtype=cdt, impl=impl) + x
-    x = feed_forward(p["ffn"], layernorm(p["ffn_norm"], x),
-                     config.dropout, rng, train, compute_dtype=cdt) + x
-    return x
+    h = layernorm(p["ffn_norm"], x)
+    if "experts" in p["ffn"]:
+        from ..parallel.moe import active_expert_mesh, moe_ffn
+
+        f, aux = moe_ffn(
+            p["ffn"], h,
+            num_selected=int(config.get("moe_num_selected", 2)),
+            capacity_factor=float(config.get("moe_capacity_factor", 1.25)),
+            mesh=active_expert_mesh())
+        f = dropout(f, config.dropout, rng, train)
+        return f + x, aux["balance_loss"]
+    f = feed_forward(p["ffn"], h, config.dropout, rng, train,
+                     compute_dtype=cdt)
+    return f + x, jnp.zeros((), jnp.float32)
 
 
 def _cross_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
@@ -207,150 +222,37 @@ def _cross_block(p: dict, x: jax.Array, config: Config, rng: RngStream,
     return fused  # (B, 1, H)
 
 
-# ---------------------------------------------------------------------------
-# stream-stacked trunk (config.stacked_streams) — batches the M per-modality
-# self-attention stacks into single (M·B)-batch ops.  Same math per stream
-# (each keeps its own weights, stacked on a leading modality axis at apply
-# time); one flash-kernel call and one batched GEMM replace M smaller ones,
-# cutting per-op dispatch/fixed costs at small batch.  Off by default: train-
-# mode dropout masks realize differently (one draw per layer instead of one
-# per (stream, layer)) — same distribution, different bits.
-# ---------------------------------------------------------------------------
-
-def _linear_s(p: dict, x: jax.Array, cdt) -> jax.Array:
-    """Per-stream Linear on stacked streams: (M,B,N,F) @ (M,F,G) + (M,G)."""
-    out_dtype = x.dtype
-    op = cdt if cdt is not None else out_dtype
-    y = jnp.einsum("mbnf,mfg->mbng", x.astype(op), p["kernel"].astype(op),
-                   preferred_element_type=jnp.float32)
-    if "bias" in p:
-        y = y + p["bias"].astype(jnp.float32)[:, None, None, :]
-    return y.astype(out_dtype)
-
-
-def _layernorm_s(p: dict, x: jax.Array) -> jax.Array:
-    """LayerNorm with per-stream (M,H) scale/bias on (M,B,N,H) input."""
-    return layernorm({"scale": p["scale"][:, None, None, :],
-                      "bias": p["bias"][:, None, None, :]}, x)
-
-
-def _feed_forward_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
-                    train: bool, cdt) -> jax.Array:
-    from jax.ad_checkpoint import checkpoint_name
-
-    h = gelu(_linear_s(p["fc1"], x, cdt))
-    h = dropout(h, rate, rng, train)
-    h = checkpoint_name(h, "ffn_hidden")
-    h = _linear_s(p["fc2"], h, cdt)
-    return dropout(h, rate, rng, train)
-
-
-def _self_attention_s(p: dict, x: jax.Array, rate: float, rng: RngStream,
-                      train: bool, cdt, impl: str) -> jax.Array:
-    """Fused-QKV self-attention on stacked streams (M,B,N,H) with per-stream
-    weights (M,H,3,K,D) / (M,K,D,H) — one (M·B)-batch kernel call."""
-    from jax.ad_checkpoint import checkpoint_name
-
-    in_dtype = x.dtype
-    if cdt is not None:
-        x = x.astype(cdt)
-    kernel = p["qkv"]["kernel"].astype(x.dtype)
-    M, B, N, H = x.shape
-    if impl == "flash":
-        from ..kernels.flash_attention import flash_attention_qkv_tn
-
-        # GEMM-native transposed layout, same as the unstacked path
-        # (ops/attention.py): batched over m, output N-minor
-        qkv = jnp.einsum("mbnh,mhskd->smbkdn", x, kernel,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        qkv = checkpoint_name(qkv, "qkv")
-        s, _, _, K, D, Nn = qkv.shape
-        out = flash_attention_qkv_tn(qkv.reshape(3, M * B, K, D, Nn),
-                                     D ** -0.5)
-        out = checkpoint_name(out.reshape(M, B, K, D, Nn), "attn_out")
-        if "out" not in p:  # heads==1 Identity quirk (ops/attention.py)
-            return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(M, B, Nn, K * D) \
-                .astype(in_dtype)
-        y = jnp.einsum("mbkdn,mkdh->mbnh", out,
-                       p["out"]["kernel"].astype(out.dtype),
-                       preferred_element_type=jnp.float32)
-    else:
-        qkv = jnp.einsum("mbnh,mhskd->smbknd", x, kernel,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        qkv = checkpoint_name(qkv, "qkv")
-        q, k, v = qkv[0], qkv[1], qkv[2]          # (M, B, K, N, D)
-        K, D = q.shape[2], q.shape[-1]
-        out = _sdpa(q.reshape(M * B, K, N, D), k.reshape(M * B, K, N, D),
-                    v.reshape(M * B, K, N, D), D ** -0.5)
-        out = checkpoint_name(out.reshape(M, B, K, N, D), "attn_out")
-        if "out" not in p:  # heads==1 Identity quirk (ops/attention.py)
-            return jnp.transpose(out, (0, 1, 3, 2, 4)).reshape(M, B, N, K * D) \
-                .astype(in_dtype)
-        y = jnp.einsum("mbknd,mkdh->mbnh", out,
-                       p["out"]["kernel"].astype(out.dtype),
-                       preferred_element_type=jnp.float32)
-    y = (y + p["out"]["bias"].astype(jnp.float32)[:, None, None, :]
-         ).astype(in_dtype)
-    return dropout(y, rate, rng, train).astype(in_dtype)
-
-
-def _self_block_s(p: dict, x: jax.Array, config: Config, rng: RngStream,
-                  train: bool, cdt, impl: str) -> jax.Array:
-    x = _self_attention_s(p["attn"], _layernorm_s(p["attn_norm"], x),
-                          config.dropout, rng, train, cdt, impl) + x
-    x = _feed_forward_s(p["ffn"], _layernorm_s(p["ffn_norm"], x),
-                        config.dropout, rng, train, cdt) + x
-    return x
-
-
 def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
-                       rng: RngStream, train: bool, cdt, impl: str) -> list[jax.Array]:
+                       rng: RngStream, train: bool, cdt,
+                       impl: str) -> tuple[list[jax.Array], jax.Array]:
     """Per-stream self-attention stacks then attn_order-routed CLS fusion
-    (reference model_cross.py:128-148)."""
+    (reference model_cross.py:128-148).  Returns (streams, balance_loss).
+
+    The M per-stream stacks run as separate batch-B ops on purpose: batching
+    them into (M·B)-batch ops with stacked weights ('stacked_streams') was
+    measured NEGATIVE twice on v5e — +7 ms at cross8 with apply-time weight
+    stacking (docs/PERF_r03.md) and +4.2 ms with init-time pre-stacked params
+    (docs/PERF_r05.md) — and the feature was removed in round 5."""
     remat = bool(config.get("remat", False))
-    prestacked = "self_blocks_stacked" in p  # stack_stream_params tree layout
-    stacked = prestacked or (
-        bool(config.get("stacked_streams", False)) and len(streams) > 1)
+    balance = jnp.zeros((), jnp.float32)
 
-    if stacked:
-        def blk_fn_s(blk_params, x, key):
-            return _self_block_s(blk_params, x, config, RngStream(key), train,
-                                 cdt, impl)
+    def blk_fn(blk_params, x, key):
+        # a fresh RngStream per block keyed by an explicit argument keeps
+        # dropout deterministic under jax.checkpoint's backward recompute
+        return _self_block(blk_params, x, config, RngStream(key), train,
+                           cdt, impl)
 
-        if remat:
-            from ..ops.layers import remat_wrap
+    if remat:
+        from ..ops.layers import remat_wrap
 
-            blk_fn_s = remat_wrap(blk_fn_s, config)
+        blk_fn = remat_wrap(blk_fn, config)
 
-        xs = jnp.stack(streams)                      # (M, B, N, H)
-        if prestacked:
-            layers_s = p["self_blocks_stacked"]      # no per-step stack cost
-        else:
-            layers_s = [
-                jax.tree.map(
-                    lambda *leaves: jnp.stack(leaves),
-                    *[p["self_blocks"][m][layer] for m in range(len(streams))])
-                for layer in range(len(p["self_blocks"][0]))]
-        for blk in layers_s:
-            xs = blk_fn_s(blk, xs, rng() if train else jax.random.key(0))
-        attn = [xs[m] for m in range(len(streams))]
-    else:
-        def blk_fn(blk_params, x, key):
-            # a fresh RngStream per block keyed by an explicit argument keeps
-            # dropout deterministic under jax.checkpoint's backward recompute
-            return _self_block(blk_params, x, config, RngStream(key), train,
-                               cdt, impl)
-
-        if remat:
-            from ..ops.layers import remat_wrap
-
-            blk_fn = remat_wrap(blk_fn, config)
-
-        attn = []
-        for m, x in enumerate(streams):
-            for blk in p["self_blocks"][m]:
-                x = blk_fn(blk, x, rng() if train else jax.random.key(0))
-            attn.append(x)
+    attn = []
+    for m, x in enumerate(streams):
+        for blk in p["self_blocks"][m]:
+            x, bal = blk_fn(blk, x, rng() if train else jax.random.key(0))
+            balance = balance + bal
+        attn.append(x)
 
     routing = dict(_attn_pairs(config))  # validated (cls_stream -> token_stream)
     outs = []
@@ -364,7 +266,7 @@ def _multi_scale_block(p: dict, streams: list[jax.Array], config: Config,
             cross_count += 1
         else:
             outs.append(attn[i])
-    return outs
+    return outs, balance
 
 
 def apply(params: dict, config: Config, img: jax.Array,
@@ -385,10 +287,7 @@ def apply(params: dict, config: Config, img: jax.Array,
     # mesh axis); only the per-stream SELF attention rides the ring — the
     # CLS-query cross attention is a 1×N sliver (GSPMD gathers its keys)
     impl = attention_impl(config)
-    if impl == "ring" and (config.get("stacked_streams", False) or
-                           any("self_blocks_stacked" in b
-                               for b in params["multi_blocks"])):
-        raise ValueError("seq_parallel does not compose with stacked_streams")
+    _reject_removed_stacked_streams(config)
     rngs = RngStream(rng)
     B = img.shape[0]
     M = img.shape[1]
@@ -403,8 +302,11 @@ def apply(params: dict, config: Config, img: jax.Array,
         x = dropout(x, config.dropout, rngs, train)
         streams.append(x)
 
+    balance = jnp.zeros((), jnp.float32)
     for block in params["multi_blocks"]:
-        streams = _multi_scale_block(block, streams, config, rngs, train, cdt, impl)
+        streams, bal = _multi_scale_block(block, streams, config, rngs, train,
+                                          cdt, impl)
+        balance = balance + bal
 
     streams = [layernorm(params["norm"][i], streams[i]) for i in range(M)]
     per_mod_logits = [
@@ -417,4 +319,13 @@ def apply(params: dict, config: Config, img: jax.Array,
     if labels is None:
         return logits
     loss = cross_entropy(logits, labels, config.label_smoothing)
+    if int(config.get("moe_experts", 0)) > 1 and train:
+        # Switch/GShard auxiliary load-balance term — TRAIN objective only
+        # (eval/checkpoint val_loss stays pure CE, comparable with dense
+        # runs); mean over the MoE sites, the model_vit convention.
+        n_moe = sum(1 for blk in params["multi_blocks"]
+                    for stream in blk.get("self_blocks", [])
+                    for layer in stream if "experts" in layer["ffn"])
+        loss = loss + (float(config.get("moe_balance_weight", 0.01))
+                       * balance / max(1, n_moe))
     return logits, loss

@@ -27,6 +27,16 @@ The reference has no quantization capability (fp32 CUDA end-to-end) — this
 is an inference-only, opt-in extension (`drivers/serve.py --quantize int8`).
 Accuracy: model-level logit drift and prediction stability are pinned in
 tests/test_quant.py over the real 6-subject cohort.
+
+Selection guidance (measured on v5e, docs/PERF_r05.md §3): `int8` (FFN-only)
+is the speed mode — +7-8% forward at config4/vitL6 eval geometries, ≤1.0× at
+cross8's batch-8 per-stream GEMMs (ship bf16 there).  `int8+attn` is a
+MEMORY mode, not a speed mode: even with the SDPA on the flash kernel (kept
+since round 5 — before that the quantized branch silently fell back to a
+dense f32 SDPA, a 2.7× regression at config4) the per-token activation
+quantize/rescale around D=64 head GEMMs costs what the 2× int8 MXU rate
+returns, so it lands at 0.82-0.96×; use it when qkv/out weight footprint
+matters.
 """
 
 from __future__ import annotations

@@ -83,11 +83,21 @@ def self_attention(params: dict, x: jax.Array, num_heads: int,
         # int8 w8a8 attention projections (models/quantize attn=True,
         # inference-only): qkv/out GEMMs run int8 on the MXU, the SDPA
         # between them stays float (softmax numerics) — ops/quant.py.
+        # The SDPA keeps the Pallas flash kernel when the config selects it:
+        # round 4 ran _sdpa unconditionally here, and the flash drop tripled
+        # config-4 int8+attn forward time (107 → 286 ms, docs/PERF_r05.md) —
+        # the int8 GEMM gain can never buy back a dense f32 (B,K,N,N)
+        # materialization.
         from .quant import attn_out_projection, qkv_projection
 
         qkv = qkv_projection(params["qkv"], x)            # (3, B, K, N, D)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        out = _sdpa(q, k, v, q.shape[-1] ** -0.5)
+        if impl == "flash":
+            from ..kernels.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, q.shape[-1] ** -0.5)
+        else:
+            out = _sdpa(q, k, v, q.shape[-1] ** -0.5)
         if "out" not in params:  # heads==1 Identity quirk (see docstring)
             b, kk, n, d = out.shape
             return jnp.transpose(out, (0, 2, 1, 3)).reshape(b, n, kk * d) \

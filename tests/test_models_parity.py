@@ -230,127 +230,18 @@ def test_remat_vit_matches():
     assert l0 == pytest.approx(l1, rel=1e-6)
 
 
-@pytest.mark.parametrize("attn_order,m", [
-    ({"0": "1", "1": "2", "2": "0"}, 3),
-    ({}, 2),
-])
-def test_stacked_streams_matches_unstacked(attn_order, m):
-    """config.stacked_streams batches the per-modality trunk into (M·B)-batch
-    ops with per-stream weights stacked at apply time — eval-mode logits must
-    match the unstacked path (same math, batched GEMM order), and gradients
-    must agree at dropout 0."""
-    cfg = small_cross_config(attn_order, m)
-    params = model_cross.init(jax.random.key(3), cfg)
-    img, labels = make_batch(cfg)
-
-    cfg_s = small_cross_config(attn_order, m)
-    modify_config(cfg_s, {"stacked_streams": True})
-
-    l0, loss0 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
-        params, img, labels)
-    l1, loss1 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg_s, x, y))(
-        params, img, labels)
-    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1),
-                               atol=1e-5, rtol=1e-5)
-    assert float(loss0) == pytest.approx(float(loss1), rel=1e-6)
-
-    # gradients at dropout 0 (train mode, no stochastic divergence)
-    cfg0 = small_cross_config(attn_order, m)
-    modify_config(cfg0, {"dropout": 0.0})
-    cfg0_s = small_cross_config(attn_order, m)
-    modify_config(cfg0_s, {"dropout": 0.0, "stacked_streams": True})
-    key = jax.random.key(11)
-    g0 = jax.grad(lambda p: model_cross.apply(p, cfg0, img, labels,
-                                              train=True, rng=key)[1])(params)
-    g1 = jax.grad(lambda p: model_cross.apply(p, cfg0_s, img, labels,
-                                              train=True, rng=key)[1])(params)
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=2e-4)
-
-
-def test_stacked_streams_train_dropout_runs():
-    """Stacked train mode with dropout: deterministic per key, engages masks."""
+def test_stacked_streams_removed_rejects():
+    """`config.stacked_streams` was REMOVED in round 5 after measuring
+    negative twice on v5e (apply-time stacking +7 ms, docs/PERF_r03.md;
+    init-time pre-stacking +4.2 ms, docs/PERF_r05.md).  Old configs carrying
+    the flag must fail loudly, in init and in apply."""
     cfg = small_cross_config({"0": "1", "1": "0"}, 2)
     modify_config(cfg, {"stacked_streams": True})
-    params = model_cross.init(jax.random.key(0), cfg)
-    img, labels = make_batch(cfg)
-    f = jax.jit(lambda p, x, y, k: model_cross.apply(p, cfg, x, y, train=True,
-                                                     rng=k))
-    l1, loss1 = f(params, img, labels, jax.random.key(1))
-    l1b, _ = f(params, img, labels, jax.random.key(1))
-    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l1b))
-    assert np.isfinite(float(loss1))
+    with pytest.raises(ValueError, match="stacked_streams was removed"):
+        model_cross.init(jax.random.key(0), cfg)
 
-
-def test_stacked_init_params_bit_identical():
-    """stack_stream_params (init-time pre-stacking) is bit-identical to the
-    apply-time stacked path — same math, the per-step jnp.stack removed — and
-    round-trips exactly through unstack_stream_params."""
-    cfg = small_cross_config({"0": "1", "1": "2", "2": "0"}, 3)
-    modify_config(cfg, {"stacked_streams": True})
-    params = model_cross.init(jax.random.key(3), cfg)
-    img, labels = make_batch(cfg)
-
-    ps = model_cross.stack_stream_params(params, cfg)
-    back = model_cross.unstack_stream_params(ps, cfg)
-    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-    l0, loss0 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
-        params, img, labels)
-    l1, loss1 = jax.jit(lambda p, x, y: model_cross.apply(p, cfg, x, y))(
-        ps, img, labels)
-    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
-    assert float(loss0) == float(loss1)
-
-    # train mode with dropout engaged: identical mask draws (one per layer,
-    # same as apply-time stacking), identical loss to the bit
-    key = jax.random.key(7)
-    lt0 = float(model_cross.apply(params, cfg, img, labels, train=True,
-                                  rng=key)[1])
-    lt1 = float(model_cross.apply(ps, cfg, img, labels, train=True,
-                                  rng=key)[1])
-    assert lt0 == lt1
-
-    # gradients land on the stacked tree (what the optimizer updates)
-    g = jax.grad(lambda p: model_cross.apply(p, cfg, img, labels, train=True,
-                                             rng=key)[1])(ps)
-    assert jax.tree.structure(g) == jax.tree.structure(ps)
-
-
-def test_stacked_init_rejects_ring():
-    """Pre-stacked trees hit the same seq_parallel composition guard that
-    config.stacked_streams does (attention_impl returns 'ring' only when a
-    seq mesh is live)."""
-    from cross_attention_vit_tpu.parallel import make_mesh, set_seq_mesh
-
-    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
-    params = model_cross.init(jax.random.key(0), cfg)
-    ps = model_cross.stack_stream_params(params, cfg)
-    cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
-    modify_config(cfg_r, {"seq_parallel": 2})
-    img, labels = make_batch(cfg)
-    set_seq_mesh(make_mesh(4, seq=2))
-    try:
-        with pytest.raises(ValueError, match="stacked_streams"):
-            model_cross.apply(ps, cfg_r, img, labels)
-    finally:
-        set_seq_mesh(None)
-
-
-def test_stacked_streams_remat_matches():
-    """stacked_streams composes with jax.checkpoint selective remat."""
-    cfg = small_cross_config({"0": "1", "1": "0"}, 2)
-    modify_config(cfg, {"stacked_streams": True})
-    params = model_cross.init(jax.random.key(2), cfg)
-    img, labels = make_batch(cfg)
-    key = jax.random.key(5)
-    loss0 = float(model_cross.apply(params, cfg, img, labels, train=True,
-                                    rng=key)[1])
-    cfg_r = small_cross_config({"0": "1", "1": "0"}, 2)
-    modify_config(cfg_r, {"stacked_streams": True, "remat": True,
-                          "remat_policy": "save_attn_masks"})
-    loss1 = float(model_cross.apply(params, cfg_r, img, labels, train=True,
-                                    rng=key)[1])
-    assert loss0 == pytest.approx(loss1, rel=1e-6)
+    clean = small_cross_config({"0": "1", "1": "0"}, 2)
+    params = model_cross.init(jax.random.key(0), clean)
+    img, labels = make_batch(clean)
+    with pytest.raises(ValueError, match="stacked_streams was removed"):
+        model_cross.apply(params, cfg, img, labels)

@@ -281,3 +281,27 @@ def test_quantized_predictions_on_real_cohort():
         lambda p, x: model_vit.apply(p, cfg, x))(qparams, imgs))
     assert np.max(np.abs(qlogits - logits)) < 0.05, (qlogits, logits)
     np.testing.assert_array_equal(qlogits.argmax(1), logits.argmax(1))
+
+
+def test_attn_int8_flash_impl_matches_xla_impl():
+    """The int8 attention branch keeps the Pallas flash kernel when the
+    config selects it (r4 ran _sdpa unconditionally — the flash drop tripled
+    config-4 int8+attn forward, docs/PERF_r05.md).  Same quantized params,
+    flash vs xla SDPA: logits agree to kernel tolerance."""
+    cfg = _tiny_cfg()
+    params = model_cross.init(jax.random.key(2), cfg)
+    qparams = quantize_for_inference(params, min_size=1024, attn=True)
+    rng = np.random.default_rng(9)
+    img = (rng.normal(size=(4, 2, 1, *cfg.img_size)) * 800).astype(np.float32)
+
+    ref = np.asarray(jax.jit(
+        lambda p, x: model_cross.apply(p, cfg, x))(qparams, img))
+
+    import copy
+
+    cfg_f = copy.deepcopy(cfg)
+    cfg_f.use_flash_attention = True
+    got = np.asarray(jax.jit(
+        lambda p, x: model_cross.apply(p, cfg_f, x))(qparams, img))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+    np.testing.assert_array_equal(got.argmax(1), ref.argmax(1))

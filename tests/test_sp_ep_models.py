@@ -322,3 +322,153 @@ def test_trainer_sets_ambient_meshes():
     bad = small_vit_config(seq_parallel=4)
     with pytest.raises(ValueError, match="seq_parallel"):
         Trainer(model_vit, bad, max_epochs=1, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# moe_experts through ModelCross (the namesake; r4 verdict item 8)
+# ---------------------------------------------------------------------------
+
+def test_model_cross_moe_init_structure():
+    """config.moe_experts converts the per-STREAM self-block FFNs (each
+    stream keeps its own router+experts, matching the reference's
+    per-modality FFN weights, model_cross.py:19-31,122); cross-block FFNs
+    stay dense (single-CLS-token inputs have nothing to route)."""
+    cfg = small_cross_config(moe_experts=4)
+    params = model_cross.init(jax.random.key(0), cfg)
+    for blk in params["multi_blocks"]:
+        for stream in blk["self_blocks"]:
+            for layer in stream:
+                assert "experts" in layer["ffn"] and "router" in layer["ffn"]
+                assert layer["ffn"]["experts"]["fc1"]["kernel"].shape == (4, 32, 64)
+        for cb in blk["cross_blocks"]:
+            assert "experts" not in cb["ffn"] and "fc1" in cb["ffn"]
+
+    # moe_every indexes per-stream depth: mb*num_self_blocks + layer
+    every2 = small_cross_config(moe_experts=4, moe_every=2)
+    p2 = model_cross.init(jax.random.key(0), every2)
+    for blk in p2["multi_blocks"]:
+        for stream in blk["self_blocks"]:
+            assert "experts" not in stream[0]["ffn"]
+            assert "experts" in stream[1]["ffn"]
+
+    with pytest.raises(ValueError, match="stacked_streams"):
+        model_cross.init(jax.random.key(0),
+                         small_cross_config(moe_experts=4,
+                                            stacked_streams=True))
+
+
+def test_model_cross_moe_eval_loss_is_pure_ce():
+    """Balance term enters the TRAIN objective only (same contract as
+    ModelVIT): dropout off → train and eval logits coincide, and the train
+    loss exceeds the eval smoothed-CE by exactly the weighted balance."""
+    cfg = small_cross_config(moe_experts=4, dropout=0.0)
+    params = model_cross.init(jax.random.key(1), cfg)
+    img, labels = make_batch(cfg)
+
+    logits_e, loss_e = model_cross.apply(params, cfg, img, labels, train=False)
+    logits_t, loss_t = model_cross.apply(params, cfg, img, labels, train=True,
+                                         rng=jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(logits_t), np.asarray(logits_e),
+                               rtol=1e-6, atol=1e-6)
+    from cross_attention_vit_tpu.ops.losses import cross_entropy
+
+    assert float(loss_e) == pytest.approx(
+        float(cross_entropy(logits_e, labels, cfg.label_smoothing)), rel=1e-6)
+    gap = float(loss_t) - float(loss_e)
+    assert 0.0 < gap < 0.01 * cfg.moe_experts
+
+
+def test_model_cross_moe_dense_equivalent_with_identical_experts():
+    """Sanity pin for the wiring: with every expert holding IDENTICAL
+    weights and top-2 renormalized gates (g1+g2 = 1) at ample capacity, the
+    MoE output is exactly the dense FFN — g1·f(x) + g2·f(x) = f(x) — so
+    logits match a dense model whose FFN weights are copied from expert 0.
+    (top-1 would NOT match: Switch multiplies by the raw gate < 1.)"""
+    cfg = small_cross_config(moe_experts=2, moe_num_selected=2,
+                             moe_capacity_factor=4.0, dropout=0.0)
+    params = model_cross.init(jax.random.key(3), cfg)
+    # collapse to one REPEATED expert: routing becomes irrelevant
+    import jax.numpy as _jnp
+
+    def dup(tree):
+        return jax.tree.map(lambda l: _jnp.stack([l[0], l[0]]), tree)
+
+    dense_cfg = small_cross_config(dropout=0.0)
+    dense = model_cross.init(jax.random.key(3), dense_cfg)
+    for blk_m, blk_d in zip(params["multi_blocks"], dense["multi_blocks"]):
+        for st_m, st_d in zip(blk_m["self_blocks"], blk_d["self_blocks"]):
+            for lay_m, lay_d in zip(st_m, st_d):
+                lay_m["ffn"]["experts"] = dup(lay_m["ffn"]["experts"])
+                for w in ("fc1", "fc2"):
+                    lay_d["ffn"][w] = {
+                        "kernel": lay_m["ffn"]["experts"][w]["kernel"][0],
+                        "bias": lay_m["ffn"]["experts"][w]["bias"][0]}
+                for k in ("attn_norm", "attn", "ffn_norm"):
+                    lay_d[k] = lay_m[k]
+        # the MoE init consumes a different key stream, so every non-FFN
+        # weight must be copied over too
+        blk_d["cross_blocks"] = blk_m["cross_blocks"]
+    for k in ("pos_embedding", "cls_token", "patch_to_embedding", "norm",
+              "mlp_head"):
+        dense[k] = params[k]
+
+    img, labels = make_batch(cfg, seed=3)
+    got, _ = model_cross.apply(params, cfg, img, labels, train=False)
+    want, _ = model_cross.apply(dense, dense_cfg, img, labels, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def _assert_params_close_except_wk_bias(p_got, p_want):
+    """Compare updated param trees, excluding cross-attention wk BIASES.
+
+    Their exact gradient is identically zero — adding a bias b to every key
+    shifts each query's scores by the constant q·b, and softmax is
+    shift-invariant — so the computed gradient is pure cancellation noise
+    (~1e-8) and Adam's mhat/√vhat normalizes noise/noise to an O(1)
+    direction: the first-step update is lr-scale ARBITRARY and legitimately
+    differs between sharding layouts.  Those leaves get an lr-scale bound."""
+    flat_w, _ = jax.tree_util.tree_flatten_with_path(p_want)
+    flat_g = jax.tree.leaves(p_got)
+    for (kp, want), got in zip(flat_w, flat_g):
+        ks = jax.tree_util.keystr(kp)
+        if "wk" in ks and "bias" in ks:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=5e-4)
+        else:
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-6, err_msg=ks)
+
+
+def test_model_cross_moe_ep_train_step_matches_serial():
+    """One jitted train step of the MoE ModelCross over ('data','expert'):
+    loss and updated params equal the serial (mesh-less) step."""
+    from cross_attention_vit_tpu.train import optim
+    from cross_attention_vit_tpu.train.trainer import make_train_step
+
+    cfg = small_cross_config(moe_experts=4)
+    params = model_cross.init(jax.random.key(4), cfg)
+    img, labels = make_batch(cfg, seed=4)
+    lr = jnp.asarray(1e-4, jnp.float32)
+
+    step = make_train_step(model_cross.apply, cfg)
+    p_ref, _, aux_ref = step(jax.tree.map(jnp.copy, params),
+                             optim.init(params), img, labels, lr,
+                             jax.random.key(5))
+
+    mesh = make_mesh(2, expert=4)
+    set_expert_mesh(mesh)
+    try:
+        sp = shard_params(jax.tree.map(jnp.copy, params), mesh)
+        fc1 = sp["multi_blocks"][0]["self_blocks"][0][0]["ffn"]["experts"]["fc1"]["kernel"]
+        assert "expert" in str(fc1.sharding.spec)
+        simg, slabels = shard_batch((img, labels), mesh)
+        step_ep = make_train_step(model_cross.apply, cfg, mesh=mesh)
+        p_ep, _, aux_ep = step_ep(sp, optim.init(sp), simg, slabels, lr,
+                                  jax.random.key(5))
+    finally:
+        set_expert_mesh(None)
+
+    assert float(aux_ep["loss"]) == pytest.approx(float(aux_ref["loss"]),
+                                                  rel=1e-5)
+    _assert_params_close_except_wk_bias(p_ep, p_ref)
