@@ -39,6 +39,13 @@ def main():
                     help="pipeline dtype at step boundaries "
                          "(config.augment_dtype; bench.py runs bfloat16)")
     ap.add_argument("--mode", choices=["compact", "vmap"], default="compact")
+    ap.add_argument("--loo", action="store_true",
+                    help="leave-one-out: time the FULL pipeline with each "
+                         "step removed; step cost = full − loo.  Immune to "
+                         "the ~5 ms per-dispatch relay floor that makes "
+                         "isolated-step numbers non-additive (each isolated "
+                         "run is its own jit dispatch; in the train step the "
+                         "pipeline is fused into one program)")
     ap.add_argument("--reps", type=int, default=16)
     ap.add_argument("--no-cache", action="store_true")
     args = ap.parse_args()
@@ -83,18 +90,28 @@ def main():
     zeros = {f: 0.0 for f in PROB_FIELDS}
     ident_a = timed(dataclasses.replace(base, **zeros))
 
+    full_a = timed(base)
     for name, field in zip(STEP_NAMES, PROB_FIELDS):
-        only = dict(zeros)
-        only[field] = getattr(base, field)
-        result[f"{name}_ms"] = round(timed(
-            dataclasses.replace(base, **only)), 2)
+        if args.loo:
+            cfg_i = dataclasses.replace(base, **{field: 0.0})
+        else:
+            only = dict(zeros)
+            only[field] = getattr(base, field)
+            cfg_i = dataclasses.replace(base, **only)
+        result[f"{name}_ms"] = round(timed(cfg_i), 2)
 
-    result["full_ms"] = round(timed(base), 2)
+    full_b = timed(base)
+    result["full_ms"] = round(min(full_a, full_b), 2)
     ident_b = timed(dataclasses.replace(base, **zeros))
     result["identity_ms"] = round(min(ident_a, ident_b), 2)
-    result["sum_steps_ms"] = round(sum(
-        max(result[f"{n}_ms"] - result["identity_ms"], 0.0)
-        for n in STEP_NAMES) + result["identity_ms"], 2)
+    if args.loo:
+        result["marginal_ms"] = {
+            n: round(result["full_ms"] - result[f"{n}_ms"], 2)
+            for n in STEP_NAMES}
+    else:
+        result["sum_steps_ms"] = round(sum(
+            max(result[f"{n}_ms"] - result["identity_ms"], 0.0)
+            for n in STEP_NAMES) + result["identity_ms"], 2)
     print(json.dumps(result))
 
 

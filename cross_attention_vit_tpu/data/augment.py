@@ -133,19 +133,14 @@ def _affine(cfg: AugmentConfig):
     return f
 
 
-def _lu_windows(cfg: AugmentConfig, shape) -> tuple:
-    """Static per-pass displacement windows for the LU affine backend.
-
-    The warp geometry m = L@U is drawn at run time, but Pallas/XLA need
-    static slice extents — so bound each pass's displacement over the WHOLE
-    (angle, scale) parameter box by scanning its corners/midpoints
-    numerically (the trig entries are monotone or even on [-r, r], so
-    extremes live on that grid), then add one interpolation voxel + one
-    margin voxel."""
+def _lu_row_bounds(cfg: AugmentConfig):
+    """Per-pass |cdelta| bounds (lmax, umax) = max |L − I| / |U − I| over the
+    WHOLE (angle, scale) parameter box, scanned numerically on the box's
+    corner/midpoint grid (the trig entries are monotone or even on [-r, r],
+    so extremes live there)."""
     import numpy as np
 
     r, sc = cfg.affine_rotate, cfg.affine_scale
-    h = np.array([(s - 1) / 2.0 for s in shape])
     lmax = np.zeros((3, 3))
     umax = np.zeros((3, 3))
     for ax in np.ndindex(3, 3, 3):
@@ -169,11 +164,51 @@ def _lu_windows(cfg: AugmentConfig, shape) -> tuple:
                           [0, 0, u22]])
             lmax = np.maximum(lmax, np.abs(L - np.eye(3)))
             umax = np.maximum(umax, np.abs(U - np.eye(3)))
+    return lmax, umax
+
+
+def _lu_windows(cfg: AugmentConfig, shape) -> tuple:
+    """Static per-pass displacement windows for the LU affine backend.
+
+    The warp geometry m = L@U is drawn at run time, but Pallas/XLA need
+    static slice extents — so bound each pass's displacement over the whole
+    parameter box (_lu_row_bounds), then add one interpolation voxel + one
+    margin voxel."""
+    import numpy as np
+
+    h = np.array([(s - 1) / 2.0 for s in shape])
+    lmax, umax = _lu_row_bounds(cfg)
+
     def win(dev_row):
         return int(np.ceil(float(dev_row @ h) * 1.05)) + 2
     l_wins = tuple(win(lmax[a]) for a in range(3))
     u_wins = tuple(win(umax[a]) for a in range(3))
-    return l_wins, u_wins
+    # fused axis-2 pass (see _affine_lu): source = c2 + l20·Δ0 + l21·Δ1 +
+    # u22·Δ2 — its displacement bound is the combined L-row-2 + U-row-2
+    fused2 = win(lmax[2] + umax[2])
+    return l_wins, u_wins, fused2
+
+
+def _lu_spans(cfg: AugmentConfig, shape, block: int = 32) -> tuple:
+    """Static per-pass ACTIVE-tap bounds for the Pallas kernel's runtime tap
+    base (kernels/resample.py span): within one output tile, rel varies by
+    at most Σ_b |cdelta_b|·(tile_extent_b − 1), so only ~that many adjacent
+    taps of the full worst-case window can have nonzero hat weight.  The
+    kernel's tile keeps the resample AXIS dim and the lane dim (2) whole and
+    blocks the remaining dim(s) of {0, 1} at `block`.
+    Returns (span_l1, span_fused2, span_u1, span_u0)."""
+    import numpy as np
+
+    lmax, umax = _lu_row_bounds(cfg)
+
+    def span(row, axis):
+        ext = [float(shape[0] - 1), float(shape[1] - 1), float(shape[2] - 1)]
+        for dim in (0, 1):
+            if dim != axis:
+                ext[dim] = float(min(block, shape[dim]) - 1)
+        return int(np.ceil(float(row @ np.array(ext)) * 1.05)) + 3
+    return (span(lmax[1], 1), span(lmax[2] + umax[2], 2), span(umax[1], 1),
+            span(umax[0], 0))
 
 
 def _resample_axis_windowed(vol, axis: int, coefs, center, window: int):
@@ -221,7 +256,7 @@ def _affine_lu(cfg: AugmentConfig):
     def f(key, vol):
         m = _affine_matrix(cfg, key)
         center = tuple((s - 1) / 2.0 for s in vol.shape)
-        l_wins, u_wins = _lu_windows(cfg, vol.shape)
+        l_wins, u_wins, fused2 = _lu_windows(cfg, vol.shape)
 
         l10, l20 = m[1, 0] / m[0, 0], m[2, 0] / m[0, 0]
         u11 = m[1, 1] - l10 * m[0, 1]
@@ -230,14 +265,20 @@ def _affine_lu(cfg: AugmentConfig):
         u22 = m[2, 2] - l20 * m[0, 2] - l21 * u12
 
         out = vol
-        # L warp: row 0 is identity (skip); axes 1 then 2
+        # L warp: row 0 is identity (skip); axis 1
         out = _resample_axis_windowed(out, 1, (l10, 1.0, 0.0), center,
                                       l_wins[1])
-        out = _resample_axis_windowed(out, 2, (l20, l21, 1.0), center,
-                                      l_wins[2])
-        # U warp: axes 2, 1, 0
-        out = _resample_axis_windowed(out, 2, (0.0, 0.0, u22), center,
-                                      u_wins[2])
+        # fused L-axis-2 ∘ U-axis-2 pass (r5): the two adjacent axis-2
+        # resamples compose into ONE — the outer pass reads the inner at
+        # x2' = c2 + u22·Δ2 and the inner reads the volume at
+        # c2 + l20·Δ0 + l21·Δ1 + (x2'−c2), so the net source is
+        # c2 + l20·Δ0 + l21·Δ1 + u22·Δ2 (Δb = x_b − c_b; axes 0/1 are
+        # untouched by both).  Same geometry, one less full-volume pass and
+        # one less linear-interp smoothing (strictly closer to the exact
+        # trilinear backend).
+        out = _resample_axis_windowed(out, 2, (l20, l21, u22), center,
+                                      fused2)
+        # U warp: remaining axes 1, 0
         out = _resample_axis_windowed(out, 1, (0.0, u11, u12), center,
                                       u_wins[1])
         out = _resample_axis_windowed(out, 0, (m[0, 0], m[0, 1], m[0, 2]),
@@ -258,7 +299,8 @@ def _affine_lu_batched(cfg: AugmentConfig):
     def f(keys: jax.Array, vols: jax.Array) -> jax.Array:
         shape = vols.shape[1:]
         center = tuple((s - 1) / 2.0 for s in shape)
-        l_wins, u_wins = _lu_windows(cfg, shape)
+        l_wins, u_wins, fused2 = _lu_windows(cfg, shape)
+        spans = _lu_spans(cfg, shape)
         m = jax.vmap(lambda k: _affine_matrix(cfg, k))(keys)  # (V, 3, 3)
 
         l10, l20 = m[:, 1, 0] / m[:, 0, 0], m[:, 2, 0] / m[:, 0, 0]
@@ -274,13 +316,17 @@ def _affine_lu_batched(cfg: AugmentConfig):
             return jnp.stack([c0, c1, c2], axis=-1) - e
 
         out = vols
-        # L warp: axes 1 then 2; U warp: axes 2, 1, 0 (as _affine_lu)
-        out = _rs(out, 1, cd(l10, one, zero, 1), center, l_wins[1])
-        out = _rs(out, 2, cd(l20, l21, one, 2), center, l_wins[2])
-        out = _rs(out, 2, cd(zero, zero, u22, 2), center, u_wins[2])
-        out = _rs(out, 1, cd(zero, u11, u12, 1), center, u_wins[1])
+        # L axis 1; fused axis-2 (L∘U, see _affine_lu); U axes 1, 0 —
+        # 4 kernel passes instead of 5, each with a dynamic tap base
+        # (kernels/resample.py span — the per-tile active-tap bound)
+        out = _rs(out, 1, cd(l10, one, zero, 1), center, l_wins[1],
+                  span=spans[0])
+        out = _rs(out, 2, cd(l20, l21, u22, 2), center, fused2,
+                  span=spans[1])
+        out = _rs(out, 1, cd(zero, u11, u12, 1), center, u_wins[1],
+                  span=spans[2])
         out = _rs(out, 0, cd(m[:, 0, 0], m[:, 0, 1], m[:, 0, 2], 0), center,
-                  u_wins[0])
+                  u_wins[0], span=spans[3])
         return out
 
     return f

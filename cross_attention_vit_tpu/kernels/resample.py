@@ -87,9 +87,70 @@ def _resample_kernel(cd_ref, vol_ref, out_ref, rel_ref, acc_ref, *,
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
+def _resample_kernel_v2(cd_ref, vol_ref, out_ref, rel_ref, acc_ref, *,
+                        axis: int, window: int, span: int, center: tuple,
+                        extent: tuple):
+    """Dynamic-tap-base variant (r5): one (volume, block0, block1) program.
+
+    The static tap window must cover the WORST-CASE displacement over the
+    whole parameter box (2·window+2 taps), but within one output tile rel
+    varies by only Σ|cdelta_b|·tile_extent_b — so at most `span` ≪ 2W+2
+    adjacent taps carry nonzero hat weight.  This kernel computes the tile's
+    runtime tap base d_lo = floor(min rel) and PREDICATES each static tap on
+    d ∈ [d_lo, d_lo + span): skipped taps cost one scalar branch instead of
+    a block-sized FMA + accumulator round trip — the v1 kernel's bound was
+    exactly that per-tap VMEM traffic.  Static slices only (Mosaic rejects
+    dynamic slices it cannot bounds-prove, and its dynamic roll rejects
+    unaligned shapes), so the `axis` dim is never grid-blocked; the OTHER
+    non-lane dims are blocked at 32 to keep the tile's rel range — and with
+    it `span` — small.  ~1.75× fewer executed taps at the live affine
+    geometry (79 of 138)."""
+    e0, e1, e2 = extent  # out tile extent
+    v, b0, b1 = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    f32 = jnp.float32
+    cd = cd_ref[pl.ds(v, 1), :]  # (1, 3)
+
+    shape = (e0, e1, e2)
+    gi = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) + b0 * e0
+          ).astype(f32) - center[0]
+    gj = (jax.lax.broadcasted_iota(jnp.int32, shape, 1) + b1 * e1
+          ).astype(f32) - center[1]
+    gk = jax.lax.broadcasted_iota(jnp.int32, shape, 2).astype(f32) - center[2]
+    rel_ref[...] = cd[0, 0] * gi + cd[0, 1] * gj + cd[0, 2] * gk
+    # d ranges over [-window, window+1]; clamp so d_lo+span-1 <= window+1
+    d_lo = jnp.clip(jnp.floor(jnp.min(rel_ref[...])),
+                    -window, window + 2 - span).astype(jnp.int32)
+
+    acc_ref[...] = jnp.zeros(shape, f32)
+    for d in range(-window, window + 2):  # static taps, runtime-predicated
+
+        @pl.when(jnp.logical_and(d >= d_lo, d < d_lo + span))
+        def _tap(d=d):
+            rel = rel_ref[...]
+            w = jnp.maximum(0.0, 1.0 - jnp.abs(rel - float(d)))
+            s = d + window
+            if axis == 0:
+                shifted = vol_ref[0, s:s + e0, :, :]
+            elif axis == 1:
+                shifted = vol_ref[0, :, s:s + e1, :]
+            else:
+                shifted = vol_ref[0, :, :, s:s + e2]
+            acc_ref[...] += w * shifted
+
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
+
+
+def _block_size(size: int, want: int = 32) -> int:
+    bsz = min(want, size)
+    while size % bsz:
+        bsz //= 2
+    return bsz
+
+
 def resample_axis_windowed_batched(vols: jax.Array, axis: int,
                                    cdelta: jax.Array, center: tuple,
-                                   window: int) -> jax.Array:
+                                   window: int,
+                                   span: int | None = None) -> jax.Array:
     """Batched windowed resample: vols (V, D, H, W) f32 or bf16, cdelta
     (V, 3) (= per-volume coefs − e_axis), static center/window.  Returns
     (V, D, H, W) in the input dtype.
@@ -99,8 +160,10 @@ def resample_axis_windowed_batched(vols: jax.Array, axis: int,
     pipeline) and only the store rounds.  Dtypes outside {f32, bf16} are
     upcast to f32 for the whole call.
 
-    Grid is (V, blocks) over one non-`axis` dimension so a padded tile plus
-    accumulator stay well under VMEM (~3 MB at the live geometry)."""
+    span: static bound on ACTIVE taps within one (32, 32, W) output tile
+    (data/augment._lu_spans); when given and smaller than the full window,
+    the v2 dynamic-tap-base kernel runs (grid (V, D/32, H/32)); otherwise
+    the v1 full-window kernel (grid (V, blocks) over one dimension)."""
     V, D, H, W = vols.shape
     in_dtype = vols.dtype
     if in_dtype not in (jnp.float32, jnp.bfloat16):
@@ -108,6 +171,46 @@ def resample_axis_windowed_batched(vols: jax.Array, axis: int,
     pad = [(0, 0)] * 4
     pad[1 + axis] = (window, window + 1)
     padded = jnp.pad(vols, pad, mode="symmetric")
+
+    if span is not None and span < 2 * window + 2:
+        # out tile: the `axis` dim rides whole (static tap slices need it);
+        # lanes (dim 2) are never blocked; the remaining dim(s) of {0, 1}
+        # block at 32 to keep each tile's rel range (and span) small
+        out_block = [D, H, W]
+        for dim in (0, 1):
+            if dim != axis:
+                out_block[dim] = _block_size([D, H][dim])
+        in_block = list(out_block)
+        in_block[axis] += 2 * window + 1  # the padded axis rides whole
+
+        def in_idx(v, b0, b1):
+            loc = [b0, b1, 0]
+            loc[axis] = 0
+            return (v, *loc)
+
+        out = pl.pallas_call(
+            partial(_resample_kernel_v2, axis=axis, window=window, span=span,
+                    center=tuple(center), extent=tuple(out_block)),
+            grid=(V, D // out_block[0], H // out_block[1]),
+            in_specs=[pl.BlockSpec((V, 3), lambda v, b0, b1: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, *in_block), in_idx,
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, *out_block),
+                                   lambda v, b0, b1: (v, b0, b1, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((V, D, H, W), vols.dtype),
+            scratch_shapes=[pltpu.VMEM(tuple(out_block), jnp.float32),
+                            pltpu.VMEM(tuple(out_block), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * span * V * D * H * W,
+                bytes_accessed=2 * V * D * H * W * 4,
+                transcendentals=0),
+            interpret=_interpret(),
+        )(cdelta.astype(jnp.float32), padded)
+        return out.astype(in_dtype)
 
     # block the first non-axis spatial dim (dim 1 unless axis==0 → dim 2)
     blocked_dim = 1 if axis != 1 else 0   # 0 → D, 1 → H (spatial indices)
