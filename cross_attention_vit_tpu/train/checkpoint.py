@@ -239,15 +239,32 @@ class LatestCheckpointer:
             self._prune()
         return path
 
+    def _complete(self):
+        """(step, path) pairs for DURABLE saves only.  A SIGKILL during
+        save_pytree's atomic write leaves `step=N.tmp.npz` behind (the
+        os.replace never ran); that name matches the `step=*.npz` glob but
+        NOT _LATEST_RE — the r5 kill/resume drive crashed here
+        (docs/RUN_r05.md), so partials are filtered, never parsed."""
+        out = []
+        for p in self.dir.glob("step=*.npz"):
+            m = _LATEST_RE.search(p.name)
+            if m:
+                out.append((int(m.group(1)), p))
+        return sorted(out)
+
     def _prune(self):
-        existing = sorted(self.dir.glob("step=*.npz"),
-                          key=lambda p: int(_LATEST_RE.search(p.name).group(1)))
-        for old in existing[:-self.keep]:
+        for _, old in self._complete()[:-self.keep]:
             old.unlink()
 
     def latest_step(self) -> int | None:
-        steps = [int(_LATEST_RE.search(p.name).group(1))
-                 for p in self.dir.glob("step=*.npz")]
+        steps = [s for s, _ in self._complete()]
+        # sweep partial writes: they are truncated npz files a crashed
+        # process can never finish, and they shadow disk space
+        for p in self.dir.glob("step=*.tmp.npz"):
+            try:
+                p.unlink()
+            except OSError:
+                pass
         return max(steps) if steps else None
 
     def restore_latest(self, like):

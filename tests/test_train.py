@@ -190,6 +190,28 @@ def test_latest_checkpointer_resume(tmp_path):
     np.testing.assert_array_equal(np.asarray(state["w"]), [30.0] * 3)
 
 
+def test_latest_checkpointer_survives_partial_write(tmp_path):
+    """A SIGKILL during save_pytree's atomic write leaves `step=N.tmp.npz`
+    (the os.replace never ran).  That partial matches the step=*.npz glob
+    but is not a durable checkpoint: latest_step/_prune/restore must skip
+    it — the r5 kill/resume drive crashed exactly here (docs/RUN_r05.md) —
+    and latest_step sweeps it from disk."""
+    lc = LatestCheckpointer(tmp_path, keep=2)
+    like = {"w": jnp.zeros((3,))}
+    for step in [10, 20]:
+        lc.save(step, {"w": jnp.full((3,), float(step))})
+    # a truncated partial from a killed writer, numerically newest
+    (tmp_path / "step=30.tmp.npz").write_bytes(b"PK\x03\x04 truncated")
+
+    assert lc.latest_step() == 20
+    assert not (tmp_path / "step=30.tmp.npz").exists()  # swept
+    step, state = lc.restore_latest(like)
+    assert step == 20
+    np.testing.assert_array_equal(np.asarray(state["w"]), [20.0] * 3)
+    lc.save(40, {"w": jnp.full((3,), 40.0)})  # _prune must not crash
+    assert lc.latest_step() == 40
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: tiny ModelVIT overfits 8 synthetic samples
 # ---------------------------------------------------------------------------
